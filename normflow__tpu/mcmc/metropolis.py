@@ -1,0 +1,387 @@
+"""Independence-Metropolis and blocked MCMC for exact sampling.
+
+TPU-native re-design of /root/reference/src/mcmc/mcmc.py.  The sequential
+accept/reject chain scan -- a host-side numpy loop in the reference
+(mcmc.py:304-328, with a GPU->CPU transfer per batch) -- becomes a
+``jax.lax.scan`` that runs on-device with identical semantics, including the
+carried ``_ref`` chain state and batch compaction via index gathers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stats import Resampler, estimate_logz, fmt_val_err
+
+__all__ = [
+    "MCMCSampler", "BlockedMCMCSampler", "MCMCHistory", "Metropolis",
+    "ModifiedMetropolis", "accept_scan", "estimate_accept_rate",
+]
+
+
+# ===================================================================== #
+# Device-side accept/reject scan
+# ===================================================================== #
+@jax.jit
+def accept_scan(key, logqp, logqp_ref):
+    """Metropolis accept/reject over a chain of proposals (on device).
+
+    Functional port of ``Metropolis.calc_accept_status`` +
+    ``calc_accept_indices`` (reference mcmc.py:304-328): proposal ``i`` is
+    accepted iff ``log u_i < logqp_ref - logqp_i`` with ``logqp_ref`` the
+    running value of the last accepted proposal.
+
+    Returns ``(accept_seq, indices)``; ``indices[i]`` is 0 for "keep the
+    incoming reference state" or ``j+1`` meaning "proposal j" -- i.e. indices
+    into arrays extended with the reference at position 0.
+    """
+    n = logqp.shape[0]
+    lrand = jnp.log(jax.random.uniform(key, (n,), logqp.dtype))
+
+    def step(carry, inp):
+        ref, idx_ref = carry
+        lr, lqp, i = inp
+        accept = lr < (ref - lqp)
+        ref = jnp.where(accept, lqp, ref)
+        idx = jnp.where(accept, i + 1, idx_ref)
+        return (ref, idx), (accept, idx)
+
+    iota = jnp.arange(n)
+    (_, _), (accept_seq, indices) = jax.lax.scan(
+        step, (logqp_ref, jnp.asarray(0)), (lrand, logqp, iota))
+    return accept_seq, indices
+
+
+# ===================================================================== #
+# Host-side scan (for resampled accept-rate estimation)
+# ===================================================================== #
+class Metropolis:
+    """Static Metropolis utilities (reference mcmc.py:298-352)."""
+
+    @staticmethod
+    def calc_accept_status(logqp, logqp_ref=None, rng=None):
+        """Sequential accept/reject over a numpy chain (host-side)."""
+        logqp = np.asarray(logqp)
+        rng = np.random.default_rng() if rng is None else rng
+        if logqp_ref is None:
+            logqp_ref = logqp[0]
+        status = np.empty(len(logqp), dtype=bool)
+        lrand = np.log(rng.random(logqp.shape[0]))
+        for i, lqp in enumerate(logqp):
+            status[i] = lrand[i] < (logqp_ref - lqp)
+            if status[i]:
+                logqp_ref = lqp
+        return status
+
+    @staticmethod
+    def calc_accept_indices(accept_seq):
+        """Compaction indices from an accept sequence (mcmc.py:319-328)."""
+        indices = np.arange(len(accept_seq))
+        cntr = 0
+        for ind, accept in enumerate(accept_seq):
+            if accept:
+                cntr = ind
+            else:
+                indices[ind] = cntr
+        return indices
+
+    @staticmethod
+    def calc_accept_count(accept_seq):
+        """Repetitions until the next accepted configuration (mcmc.py:330-336)."""
+        ind = np.where(accept_seq)[0]
+        return ind[1:] - ind[:-1]
+
+    @staticmethod
+    def calc_tau_rejections_prob(accept_seq, max_tau=100):
+        """Probability of tau rejections in a row (mcmc.py:338-352)."""
+        p_tau = np.zeros(max_tau)
+        rej_seq = ~np.asarray(accept_seq)
+        tau_rej_seq = rej_seq
+        p_tau[0] = np.mean(tau_rej_seq)
+        for i in range(1, max_tau):
+            tau_rej_seq = tau_rej_seq[:-1] & rej_seq[i:]
+            p_tau[i] = np.mean(tau_rej_seq)
+        return p_tau
+
+
+class ModifiedMetropolis(Metropolis):
+    """Modified acceptance rule ``exp(-(tau x^2 + relu(-x)))``
+    (reference mcmc.py:355-375)."""
+
+    @staticmethod
+    def calc_accept_status(logqp, logqp_ref=None, tau=0, rng=None):
+        logqp = np.asarray(logqp)
+        rng = np.random.default_rng() if rng is None else rng
+        if logqp_ref is None:
+            logqp_ref = logqp[0]
+        status = np.empty(len(logqp), dtype=bool)
+        lrand = np.log(rng.random(logqp.shape[0]))
+        for i, lqp in enumerate(logqp):
+            x = logqp_ref - lqp
+            status[i] = lrand[i] < -(tau * x**2 + (-x if x < 0 else 0.0))
+            if status[i]:
+                logqp_ref = lqp
+        return status
+
+
+def estimate_accept_rate(logqp, n_resamples=10, method="shuffling", seed=None):
+    """Estimate the Metropolis acceptance rate by resampling logqp
+    (reference mcmc.py:117-124).  Returns ``(mean, std)``."""
+    rng = np.random.default_rng(seed)
+    calc_rate = lambda x: float(np.mean(Metropolis.calc_accept_status(
+        np.asarray(x).ravel(), rng=rng)))
+    resampler = Resampler(method, seed=seed)
+    return resampler.eval(np.asarray(logqp).ravel(), fn=calc_rate,
+                          n_resamples=n_resamples)
+
+
+# ===================================================================== #
+# Samplers
+# ===================================================================== #
+class MCMCSampler:
+    """Independence-Metropolis sampler on top of the flow posterior.
+
+    Mirrors ``MCMCSampler`` (reference mcmc.py:15-128): draws a batch of raw
+    samples, runs the accept/reject chain (carrying persistent ``_ref`` state
+    across calls), and replaces rejected entries by the last accepted sample.
+    """
+
+    def __init__(self, model):
+        self._model = model
+        self.history = MCMCHistory()
+        self._ref: dict[str, Any] | None = None
+
+    def reset(self):
+        self._ref = None
+        self.history.reset_history()
+
+    def sample(self, batch_size=1, **kwargs):
+        return self.sample__(batch_size=batch_size, **kwargs)[0]
+
+    def sample_(self, batch_size=1, **kwargs):
+        return self.sample__(batch_size=batch_size, **kwargs)[:2]
+
+    def sample__(self, batch_size=1, key=None, bookkeeping=False):
+        """Return ``(y, logq, logp)`` after Metropolis correction."""
+        m = self._model
+        key = m.next_key() if key is None else key
+        k_prop, k_acc = jax.random.split(key)
+        y, logq, logp = m.posterior.sample__(batch_size=batch_size, key=k_prop)
+
+        if bookkeeping:
+            self.history.bookkeeping(raw_logq=logq, raw_logp=logp)
+
+        y, logq, logp = self._accept_reject_step(
+            k_acc, y, logq, logp, bookkeeping=bookkeeping)
+
+        if bookkeeping:
+            self.history.bookkeeping(logq=logq, logp=logp)
+        return y, logq, logp
+
+    def _accept_reject_step(self, key, y, logq, logp, bookkeeping=False):
+        if self._ref is None:
+            # no reference yet: seed the chain from the first proposal
+            # (reference mcmc.py:309-310 semantics)
+            ref = dict(sample=y[0], logq=logq[0], logp=logp[0])
+        else:
+            ref = self._ref
+        yn, logqn, logpn, accept_seq = _accept_reject_kernel(
+            key, y, logq, logp, ref["sample"], ref["logq"], ref["logp"])
+        self._ref = dict(sample=yn[-1], logq=logqn[-1], logp=logpn[-1])
+
+        self.history.bookkeeping(accept_rate=float(jnp.mean(accept_seq)))
+        if bookkeeping:
+            accept_np = np.asarray(accept_seq)
+            self.history.bookkeeping(
+                accept_seq=accept_np,
+                accept_ind=Metropolis.calc_accept_indices(accept_np))
+        return yn, logqn, logpn
+
+    def serial_sample_generator(self, n_samples, batch_size=16, key=None):
+        """Yield chain samples one by one (reference mcmc.py:89-97)."""
+        m = self._model
+        key = m.next_key() if key is None else key
+        for i in range(n_samples):
+            ind = i % batch_size
+            if ind == 0:
+                key, sub = jax.random.split(key)
+                y, logq, logp = self.sample__(batch_size, key=sub)
+            yield y[ind][None], logq[ind][None], logp[ind][None]
+
+    def calc_accept_rate(self, n_samples=1024, batch_size=None,
+                         n_resamples=10, method="shuffling", key=None):
+        """Acceptance rate from freshly drawn raw samples (mcmc.py:99-115)."""
+        m = self._model
+        key = m.next_key() if key is None else key
+        if batch_size is None or batch_size > n_samples:
+            batch_size = n_samples
+        n_batches = int(np.ceil(n_samples / batch_size))
+        logqp = np.zeros(n_batches * batch_size)
+        for k in range(n_batches):
+            key, sub = jax.random.split(key)
+            _, logq, logp = m.posterior.sample__(batch_size=batch_size, key=sub)
+            logqp[k * batch_size:(k + 1) * batch_size] = np.asarray(logq - logp)
+        return estimate_accept_rate(logqp, n_resamples, method)
+
+    estimate_accept_rate = staticmethod(estimate_accept_rate)
+
+    def log_prob(self, y, action_logz=0.0):
+        return -self._model.action(y) - action_logz
+
+
+@jax.jit
+def _accept_reject_kernel(key, y, logq, logp, ref_y, ref_logq, ref_logp):
+    """Fused accept/reject + compaction, entirely on device."""
+    logqp = logq - logp
+    accept_seq, indices = accept_scan(key, logqp, ref_logq - ref_logp)
+    ext = lambda ref, arr: jnp.concatenate([ref[None], arr], axis=0)
+    take = lambda ref, arr: jnp.take(ext(ref, arr), indices, axis=0)
+    return (take(ref_y, y), take(ref_logq, logq), take(ref_logp, logp),
+            accept_seq)
+
+
+class BlockedMCMCSampler(MCMCSampler):
+    """Block-Gibbs MCMC in latent space (reference mcmc.py:132-219).
+
+    The latent configuration is updated block by block with proposals from
+    the chopped prior; each block proposal requires a full flow forward.
+    The sweep over blocks and the batch loop are both ``lax.scan``s -- the
+    whole sampler is one fused device program (the reference re-enters
+    Python per proposal).
+    """
+
+    def sample__(self, batch_size=1, n_blocks=1, key=None, bookkeeping=False):
+        m = self._model
+        prior = m.prior
+        key = m.next_key() if key is None else key
+
+        nvar = prior.nvar
+        if isinstance(n_blocks, int) and n_blocks > 0:
+            block_len = nvar // n_blocks
+            assert block_len * n_blocks == nvar
+        else:
+            block_len, n_blocks = nvar, 1
+
+        k_init, k_run = jax.random.split(key)
+        if self._ref is None:
+            x = prior.sample(k_init, 1)
+            logqp_ref = jnp.asarray(0.0, x.dtype)
+            has_ref = False
+        else:
+            x = m.net_.backward(self._ref["sample"][None])[0]
+            logqp_ref = jnp.asarray(self._ref["logq"] - self._ref["logp"])
+            has_ref = True
+
+        cfgs, logq, logp, accept_seq = _blocked_sweep_kernel(
+            m.net_, prior, m.action, k_run, x, logqp_ref, has_ref,
+            batch_size, n_blocks, block_len)
+
+        self._ref = dict(sample=cfgs[-1], logq=logq[-1], logp=logp[-1])
+        self.history.bookkeeping(accept_rate=float(jnp.mean(accept_seq)))
+        if bookkeeping:
+            self.history.bookkeeping(logq=logq, logp=logp)
+            self.history.bookkeeping(accept_seq=np.asarray(accept_seq).ravel())
+        return cfgs, logq, logp
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _blocked_sweep_kernel(net, prior, action, key, x, logqp_ref, has_ref,
+                          batch_size, n_blocks, block_len):
+    """Scan over (samples x blocks) of latent block-Gibbs updates."""
+    shape = x.shape[1:]
+    x_flat = x.reshape(-1)
+    chopped = prior.chopped(block_len)
+
+    def block_step(carry, inp):
+        x_flat, ref, has_ref = carry
+        b, proposal, lrand = inp
+        x_new = jax.lax.dynamic_update_slice(x_flat, proposal, (b * block_len,))
+        xs = x_new.reshape(1, *shape)
+        y, logj = net.forward(xs)
+        logq = prior.log_prob(xs) - logj
+        logp = -action(y)
+        logqp = (logq - logp)[0]
+        accept = jnp.where(has_ref, lrand < (ref - logqp), True)
+        x_flat = jnp.where(accept, x_new, x_flat)
+        ref = jnp.where(accept, logqp, ref)
+        return (x_flat, ref, jnp.logical_or(has_ref, accept)), accept
+
+    def sample_step(carry, key):
+        x_flat, ref, has_ref = carry
+        kp, kr = jax.random.split(key)
+        proposals = chopped.sample(kp, n_blocks)  # (n_blocks, block_len)
+        lrand = jnp.log(jax.random.uniform(kr, (n_blocks,), x_flat.dtype))
+        blocks = jnp.arange(n_blocks)
+        (x_flat, ref, has_ref), accepts = jax.lax.scan(
+            block_step, (x_flat, ref, has_ref), (blocks, proposals, lrand))
+        xs = x_flat.reshape(1, *shape)
+        y, logj = net.forward(xs)
+        logq = prior.log_prob(xs) - logj
+        logp = -action(y)
+        return (x_flat, ref, has_ref), (y[0], logq[0], logp[0], accepts)
+
+    keys = jax.random.split(key, batch_size)
+    has_ref_arr = jnp.asarray(has_ref)
+    (_, _, _), (cfgs, logq, logp, accept_seq) = jax.lax.scan(
+        sample_step, (x_flat, logqp_ref, has_ref_arr), keys)
+    return cfgs, logq, logp, accept_seq
+
+
+class MCMCHistory:
+    """Bookkeeping of MCMC runs (reference mcmc.py:223-294)."""
+
+    def __init__(self):
+        self.reset_history()
+
+    def reset_history(self):
+        self.logq = []
+        self.logp = []
+        self.raw_logq = []
+        self.raw_logp = []
+        self.accept_seq = []
+        self.accept_ind = []
+        self.accept_rate = []
+
+    def report_summary(self, since=0, asstr=False):
+        if asstr:
+            fmt = lambda mean, std: fmt_val_err(mean, std, err_digits=2)
+        else:
+            fmt = lambda mean, std: (mean, std)
+        logqp = np.asarray(self.logq[-1]) - np.asarray(self.logp[-1])
+        accept_rate = np.asarray(self.accept_rate)
+        mean_std = lambda t: (float(np.mean(t)), float(np.std(t)))
+        return {
+            "logqp": fmt(*mean_std(logqp)),
+            "logz": fmt(*estimate_logz(logqp)),
+            "accept_rate": fmt(*mean_std(accept_rate)),
+        }
+
+    def bookkeeping(self, logq=None, logp=None, raw_logq=None, raw_logp=None,
+                    accept_seq=None, accept_rate=None, accept_ind=None):
+        if raw_logq is not None:
+            self.raw_logq.append(np.array(raw_logq))
+        if raw_logp is not None:
+            self.raw_logp.append(np.array(raw_logp))
+        if logq is not None:
+            self.logq.append(np.asarray(logq))
+        if logp is not None:
+            self.logp.append(np.asarray(logp))
+        if accept_rate is not None:
+            self.accept_rate.append(accept_rate)
+        if accept_seq is not None:
+            self.accept_seq.append(accept_seq)
+        if accept_ind is not None:
+            self.accept_ind.append(accept_ind)
+
+    @property
+    def logqp(self):
+        return [lq - lp for lq, lp in zip(self.logq, self.logp)]
+
+    @property
+    def raw_logqp(self):
+        return [lq - lp for lq, lp in zip(self.raw_logq, self.raw_logp)]

@@ -1,0 +1,37 @@
+"""Flow networks -- reference-parity namespace (/root/reference/src/nn/__init__.py).
+
+Reference trailing-underscore names map to underscore-free names here (the
+``(y, log_det)`` contract is universal in this package); underscored aliases
+are provided so reference users can port scripts mechanically.
+"""
+
+from ..models.core import (
+    Flow, FlowList, MultiChannelFlow, MultiOutChannelFlow,
+    InvisibilityMaskWrapper,
+)
+from ..models.elementwise import (
+    Identity, Clone, Scale, Tanh, ArcTanh, Expit, Logit, Pade11, Pade22,
+    Pade32, SgnBias, SplineFlow, UnityDistConvertor, PhaseDistConvertor,
+    DistConvertor,
+)
+
+# Reference-parity aliases (trailing underscore convention)
+Module_ = Flow
+ModuleList_ = FlowList
+MultiChannelModule_ = MultiChannelFlow
+MultiOutChannelModule_ = MultiOutChannelFlow
+InvisibilityMaskWrapperModule_ = InvisibilityMaskWrapper
+Identity_ = Identity
+Clone_ = Clone
+ScaleNet_ = Scale
+Tanh_ = Tanh
+ArcTanh_ = ArcTanh
+Expit_ = Expit
+Logit_ = Logit
+Pade11_ = Pade11
+Pade22_ = Pade22
+SgnBiasNet_ = SgnBias
+SplineNet_ = SplineFlow
+UnityDistConvertor_ = UnityDistConvertor
+PhaseDistConvertor_ = PhaseDistConvertor
+DistConvertor_ = DistConvertor

@@ -1,0 +1,135 @@
+"""Device mesh / distributed layer: the TPU-native replacement for DDP.
+
+Re-designs /root/reference/src/device/_core.py (PyTorch DDP + NCCL +
+``torch.multiprocessing.spawn``, single-node only) the JAX way:
+
+- ONE ``jax.sharding.Mesh`` over all devices (ICI within a host, DCN across
+  hosts); no process spawning -- JAX is SPMD, every host runs the same
+  program (``jax.distributed.initialize`` for multi-host);
+- data parallelism = batch-axis sharding: the train step constrains the
+  sampled batch to ``P('data')`` and XLA inserts the gradient psum where DDP
+  would hook an NCCL all-reduce;
+- metric collection needs no explicit ``all_gather_into_tensor``
+  (reference device/_core.py:87-95): reductions over the sharded batch axis
+  lower to collectives automatically;
+- per-rank seeding (reference ``prepare_seeds``, l.136-158) is replaced by
+  deterministic ``jax.random`` key folding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ModelDeviceHandler", "make_mesh", "init_distributed", "fold_key"]
+
+
+def init_distributed(**kwargs):
+    """Initialize multi-host JAX (replaces ``setup_process_group``,
+    reference device/_core.py:120-133, and removes its localhost-only
+    restriction).  No-op if already initialized or single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              devices: Sequence | None = None) -> Mesh:
+    """A 1-D device mesh over (the first ``n_devices``) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def fold_key(key, axis: str | None = None):
+    """Deterministic per-process key folding (replaces per-rank seed lists)."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+class ModelDeviceHandler:
+    """Per-model handle for device placement and data parallelism.
+
+    API-parity analogue of ``ModelDeviceHandler`` (reference
+    device/_core.py:27-95).  Attach a mesh with :meth:`use_mesh` (or
+    :meth:`distribute` over all devices); the Fitter then shards each
+    sampled batch over the ``data`` axis.
+    """
+
+    def __init__(self, model):
+        self._model = model
+        self.mesh: Mesh | None = None
+        self.data_axis = "data"
+
+    # -- topology ------------------------------------------------------ #
+    @property
+    def rank(self) -> int:
+        return jax.process_index()
+
+    @property
+    def nranks(self) -> int:
+        return jax.process_count()
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.size if self.mesh is not None else len(jax.devices())
+
+    # -- setup --------------------------------------------------------- #
+    def use_mesh(self, mesh: Mesh | None = None, n_devices: int | None = None,
+                 axis: str = "data"):
+        """Attach a device mesh; subsequent ``fit`` calls shard the batch."""
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, axis)
+        self.data_axis = axis
+        return self.mesh
+
+    def distribute(self):
+        """Shorthand: mesh over every visible device."""
+        return self.use_mesh()
+
+    def batch_sharder(self) -> Callable:
+        """A function constraining a batched array to ``P('data')``.
+
+        Identity when no mesh is attached.  Applied inside the jitted train
+        step; everything downstream (flow, action, loss, gradients) is then
+        partitioned by XLA with collectives over the ICI.
+        """
+        if self.mesh is None:
+            return lambda x: x
+        sharding = NamedSharding(self.mesh, P(self.data_axis))
+
+        def constrain(x):
+            return jax.lax.with_sharding_constraint(x, sharding)
+
+        return constrain
+
+    def replicate_params(self):
+        """Place the net's parameters replicated over the mesh."""
+        if self.mesh is None:
+            return
+        sharding = NamedSharding(self.mesh, P())
+        model = self._model
+        model.net_ = jax.device_put(model.net_, sharding)
+
+    # -- parity shims --------------------------------------------------- #
+    def all_gather_into_tensor(self, x):
+        """Cross-process gather of per-host arrays (reference
+        device/_core.py:87-95).  Under jit-sharded evaluation this is not
+        needed; provided for host-level code on multi-host setups."""
+        if self.nranks == 1:
+            return x
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x)
+
+    def spawnprocesses(self, fn, nranks, *args, **kwargs):
+        """The reference forks one process per GPU (device/_core.py:51-85).
+        JAX is SPMD -- there is nothing to spawn on a single host; attach a
+        mesh instead.  This shim distributes over ``nranks`` local devices
+        and calls ``fn(model, *args, **kwargs)`` once."""
+        self.use_mesh(n_devices=nranks)
+        return fn(self._model, *args, **kwargs)
