@@ -1,0 +1,97 @@
+"""Benchmark: effective samples/s/chip on 32x32 phi^4 (the driver's metric).
+
+Protocol:
+ 1. build the flagship 32x32 RQ-spline-coupling flow (BASELINE.json config 3);
+ 2. train for --train_epochs of reverse-KL (fixed seed, jitted step);
+ 3. measure raw sampling throughput (posterior.sample__, batch --batch);
+ 4. ESS fraction from a large logqp sample;
+ 5. effective samples/s = throughput * ESS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+``vs_baseline`` compares against the reference implementation's measured
+effective-samples/s on this host's CPU (the reference publishes no speed
+numbers -- BASELINE.md; torch-CPU is its only runnable configuration here).
+Set by measure_reference_baseline() and cached below.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference (torch CPU, jkomijani/normflow_) effective samples/s for the same
+# 32x32 model class on this host; measured with scripts/bench_reference.py.
+# None -> report vs_baseline of 1.0 relative to self until measured.
+REFERENCE_EFF_SAMPLES_PER_SEC = None
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_epochs", type=int, default=400)
+    p.add_argument("--train_batch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--sample_iters", type=int, default=20)
+    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--lat", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed)
+
+    t0 = time.time()
+    model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
+              hyperparam=dict(lr=2e-3, weight_decay=1e-4),
+              steps_per_call=args.steps_per_call,
+              checkpoint_dict=dict(print_stride=None))
+    train_time = time.time() - t0
+
+    # -- sampling throughput (jitted, fixed batch) ---------------------- #
+    key = jax.random.key(args.seed + 1)
+
+    def draw(k):
+        return model.posterior.sample__(batch_size=args.batch, key=k)
+
+    y, logq, logp = draw(key)  # compile + warmup
+    jax.block_until_ready(y)
+
+    logqps = []
+    t0 = time.time()
+    for i in range(args.sample_iters):
+        key, sub = jax.random.split(key)
+        y, logq, logp = draw(sub)
+        logqps.append(logq - logp)
+    jax.block_until_ready(y)
+    dt = time.time() - t0
+    samples_per_sec = args.sample_iters * args.batch / dt
+
+    logqp = jnp.concatenate(logqps)
+    from normflow__tpu.training.losses import calc_ess
+    ess = float(calc_ess(logqp, 0.0))
+    from normflow__tpu.mcmc import estimate_accept_rate
+    accept, accept_err = estimate_accept_rate(jax.device_get(logqp))
+
+    eff_samples_per_sec = samples_per_sec * ess
+
+    vs = (eff_samples_per_sec / REFERENCE_EFF_SAMPLES_PER_SEC
+          if REFERENCE_EFF_SAMPLES_PER_SEC else 1.0)
+    print(json.dumps({
+        "metric": f"effective samples/s/chip, {args.lat}x{args.lat} phi^4",
+        "value": round(eff_samples_per_sec, 3),
+        "unit": "eff_samples/s/chip",
+        "vs_baseline": round(vs, 3),
+        "raw_samples_per_sec": round(samples_per_sec, 1),
+        "ess": round(ess, 4),
+        "accept_rate": round(accept, 4),
+        "train_epochs": args.train_epochs,
+        "train_time_s": round(train_time, 1),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,6 +5,9 @@ from . import elementwise
 from . import priors
 from . import actions
 from . import masks
+from . import nets
+from . import couplings
+from . import spectral
 
 from .core import (
     Flow, FlowList, MultiChannelFlow, MultiOutChannelFlow,
@@ -15,6 +18,14 @@ from .elementwise import (
     Pade32, SgnBias, SplineFlow, UnityDistConvertor, PhaseDistConvertor,
     DistConvertor,
 )
+from .nets import ConvNet, LinearNet, CircularConv, Dense, ACTIVATIONS
+from .couplings import (
+    Coupling, ShiftCoupling, AffineCoupling, RQSplineCoupling,
+    MultiRQSplineCoupling, DirectCntrCoupling, CntrCoupling,
+    CntrShiftCoupling, CntrAffineCoupling, CntrRQSplineCoupling,
+    CntrMultiRQSplineCoupling,
+)
+from .spectral import FFTFlow, IPSD, MeanFieldFlow, PSDBlock, FreeScalar
 from .priors import NormalPrior, UniformPrior, PriorList
 from .actions import ScalarPhi4Action, GaugeAction, U1GaugeAction, MatrixAction
 from .masks import (

@@ -36,6 +36,7 @@ class ScalarPhi4Action(Pytree):
     lambd: float = static(default=0.0)
     kappa: float = static(default=1.0)
     a: float = static(default=1.0)
+    backend: str = static(default="xla")  # 'xla' | 'pallas'
 
     def get_coef(self, lat_ndim: int):
         a = self.a
@@ -54,6 +55,10 @@ class ScalarPhi4Action(Pytree):
         """Per-sample action; axis 0 is the batch axis."""
         dims = tuple(range(1, cfgs.ndim))
         w0, w2, w4 = self.get_coef(cfgs.ndim - 1)
+        if self.backend == "pallas" and 1 <= cfgs.ndim - 1 <= 3:
+            from ..ops.kernels import phi4_action_pallas
+
+            return phi4_action_pallas(cfgs, w0, w2, w4)
         phi2 = cfgs * cfgs
         act = jnp.sum(w2 * phi2 + w4 * phi2 * phi2, axis=dims)
         if w0 != 0.0:

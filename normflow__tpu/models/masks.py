@@ -49,18 +49,24 @@ class _MultiplicativeMask:
     def make_mask(self) -> np.ndarray:
         raise NotImplementedError
 
-    def _mask(self, dtype):
-        return jnp.asarray(self.make_mask(), dtype=dtype)
+    def _mask(self, x):
+        """Mask aligned to ``x``: data is (batch, *lattice, *extra) -- any
+        trailing channel axes get singleton dims so the mask broadcasts."""
+        m = jnp.asarray(self.make_mask(), dtype=x.dtype)
+        extra = x.ndim - 1 - len(self.shape)
+        if extra > 0:
+            m = m.reshape(m.shape + (1,) * extra)
+        return m
 
     def split(self, x):
-        m = self._mask(x.dtype)
+        m = self._mask(x)
         return m * x, (1 - m) * x
 
     def cat(self, x0, x1):
         return x0 + x1
 
     def purify(self, x_chnl, channel: int):
-        m = self._mask(x_chnl.dtype)
+        m = self._mask(x_chnl)
         return x_chnl * (m if channel == 0 else (1 - m))
 
 

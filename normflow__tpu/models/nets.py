@@ -1,0 +1,258 @@
+"""Raw (non-invertible) nets: circular conv stacks and linear stacks.
+
+TPU-native re-design of ``ConvAct``/``LinearAct``/``ConvNd``
+(/root/reference/src/nn/scalar/modules.py:68-273, convNd.py:7-175).
+
+Layout choice: **channels-last** ``(batch, *lattice, channels)`` -- the
+native TPU conv layout (NHWC); the MXU contracts over the channel axis.
+Periodic boundary conditions are manual wrap-padding + VALID convolution
+(XLA fuses the pad).  1-3 spatial dims use ``lax.conv_general_dilated``
+natively; 4-D lattices use the roll-and-sum decomposition over the leading
+kernel axis (the same trick as the reference's ``Conv4d``, convNd.py:86-126,
+because TPUs, like cuDNN, have no native 4-D conv).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lattice import neighbor_mean
+from ..struct import Pytree, static
+
+__all__ = ["ConvNet", "LinearNet", "CircularConv", "Dense", "ACTIVATIONS"]
+
+
+def _act_avg_neighbor_pool(x):
+    # spatial axes for channels-last data: everything but batch & channels
+    return neighbor_mean(x, axes=range(1, x.ndim - 1))
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "leaky_relu": jax.nn.leaky_relu,
+    "softplus": jax.nn.softplus,
+    "avg_neighbor_pool": _act_avg_neighbor_pool,
+    "abs": jnp.abs,
+    # NOTE: applied (the reference's Expit/Logit activations return the
+    # function object instead of applying it -- defect SURVEY §2.14.5)
+    "expit": jax.nn.sigmoid,
+    "logit": lambda x: jnp.log(x) - jnp.log1p(-x),
+    "none": lambda x: x,
+}
+
+
+def _torch_conv_init(key, kernel_shape, in_ch, out_ch, dtype, bias: bool):
+    """Kaiming-uniform(a=sqrt(5)) + uniform bias, matching torch Conv defaults
+    so training dynamics track the reference."""
+    fan_in = in_ch * int(np.prod(kernel_shape))
+    bound = 1.0 / np.sqrt(fan_in)
+    k_w, k_b = jax.random.split(key)
+    w = jax.random.uniform(k_w, (*kernel_shape, in_ch, out_ch), dtype,
+                           -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+    b = (jax.random.uniform(k_b, (out_ch,), dtype, -bound, bound)
+         if bias else None)
+    return w, b
+
+
+class CircularConv(Pytree):
+    """One N-dim conv layer with periodic ('circular') padding, channels-last.
+
+    Weight layout ``(*kernel, in_ch, out_ch)`` (HWIO).  Supports 1-4 spatial
+    dims; 4-D decomposes into rolled 3-D convs (reference convNd.py:86-126).
+    """
+
+    weight: jax.Array
+    bias: jax.Array | None
+    conv_dim: int = static(default=2)
+
+    @classmethod
+    def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
+              bias=True, dtype=None):
+        dtype = dtype or jnp.result_type(float)
+        ks = ((kernel_size,) * conv_dim if isinstance(kernel_size, int)
+              else tuple(kernel_size))
+        assert len(ks) == conv_dim and 1 <= conv_dim <= 4
+        w, b = _torch_conv_init(key, ks, in_channels, out_channels, dtype, bias)
+        return cls(weight=w, bias=b, conv_dim=conv_dim)
+
+    @property
+    def kernel_size(self):
+        return self.weight.shape[: self.conv_dim]
+
+    def __call__(self, x):
+        nd = self.conv_dim
+        if nd <= 3:
+            y = self._convnd(x, self.weight)
+        else:
+            y = self._conv4d(x)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+    def _convnd(self, x, w):
+        nd = w.ndim - 2
+        ks = w.shape[:nd]
+        # periodic 'same' padding: total pad k-1, split (k//2, (k-1)//2)
+        # to match torch's padding='same' site alignment.
+        pad = [(0, 0)] + [(k // 2, (k - 1) // 2) for k in ks] + [(0, 0)]
+        x = jnp.pad(x, pad, mode="wrap")
+        spec = "".join("DHW"[3 - nd:][i] for i in range(nd))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, (f"N{spec}C", f"{spec}IO", f"N{spec}C"))
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,) * nd, padding="VALID",
+            dimension_numbers=dn)
+
+    def _conv4d(self, x):
+        # Roll-and-sum over the leading kernel axis: a 4-D circular conv is a
+        # sum of 3-D circular convs of the input rolled along axis 1
+        # (reference convNd.py:86-126, re-derived for channels-last).
+        k0 = self.weight.shape[0]
+        y = 0.0
+        for i in range(k0):
+            shift = i - k0 // 2
+            xi = jnp.roll(x, -shift, axis=1)
+            y = y + self._convnd(
+                xi.reshape((-1, *x.shape[2:])), self.weight[i]
+            ).reshape((*x.shape[:-1], self.weight.shape[-1]))
+        return y
+
+
+class ConvNet(Pytree):
+    """Stack of circular conv layers with activations.
+
+    Mirrors ``ConvAct`` (reference modules.py:68-159): sizes
+    ``[in_channels, *hidden_sizes, out_channels]``, one activation name per
+    layer (``acts``), optional ``pre_act``.  Channels-last data.
+    """
+
+    layers: tuple
+    acts: tuple = static(default=(None,))
+    pre_act: str | None = static(default=None)
+
+    @classmethod
+    def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
+              hidden_sizes=(), acts=(None,), pre_act=None, bias=True,
+              dtype=None):
+        sizes = [in_channels, *hidden_sizes, out_channels]
+        acts = tuple(acts)
+        assert len(acts) == len(hidden_sizes) + 1
+        keys = jax.random.split(key, len(acts))
+        layers = tuple(
+            CircularConv.build(k, sizes[i], sizes[i + 1], kernel_size,
+                               conv_dim=conv_dim, bias=bias, dtype=dtype)
+            for i, k in enumerate(keys)
+        )
+        return cls(layers=layers, acts=acts, pre_act=pre_act)
+
+    def __call__(self, x):
+        if self.pre_act is not None:
+            x = ACTIVATIONS[self.pre_act](x)
+        for layer, act in zip(self.layers, self.acts):
+            x = layer(x)
+            if act is not None:
+                x = ACTIVATIONS[act](x)
+        return x
+
+    def zeroed(self) -> "ConvNet":
+        """All-zero parameters (reference ``set_param2zero``, modules.py:156-159),
+        making any coupling built on this net the identity map."""
+        return jax.tree_util.tree_map(jnp.zeros_like, self)
+
+    def transfer(self, **kwargs):
+        return self
+
+
+class Dense(Pytree):
+    """One linear layer, features-last (torch Linear init)."""
+
+    weight: jax.Array  # (in, out)
+    bias: jax.Array | None
+
+    @classmethod
+    def build(cls, key, in_features, out_features, bias=True, dtype=None):
+        dtype = dtype or jnp.result_type(float)
+        bound = 1.0 / np.sqrt(in_features)
+        k_w, k_b = jax.random.split(key)
+        w = jax.random.uniform(k_w, (in_features, out_features), dtype,
+                               -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+        b = (jax.random.uniform(k_b, (out_features,), dtype, -bound, bound)
+             if bias else None)
+        return cls(weight=w, bias=b)
+
+    def __call__(self, x):
+        y = x @ self.weight
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+class PlusBias(Pytree):
+    """Standalone bias add (reference modules.py:57-65)."""
+
+    bias: jax.Array
+
+    @classmethod
+    def build(cls, key, out_features, dtype=None):
+        dtype = dtype or jnp.result_type(float)
+        return cls(bias=jax.random.normal(key, (out_features,), dtype))
+
+    def __call__(self, x):
+        return x + self.bias
+
+
+class LinearNet(Pytree):
+    """Stack of linear layers with activations, movable features axis.
+
+    Mirrors ``LinearAct`` (reference modules.py:197-273).
+    """
+
+    layers: tuple
+    acts: tuple = static(default=(None,))
+    pre_act: str | None = static(default=None)
+    final_bias: Any = None
+    features_axis: int = static(default=-1)
+
+    @classmethod
+    def build(cls, key, in_features, out_features, hidden_sizes=(),
+              acts=(None,), pre_act=None, final_bias=False, features_axis=-1,
+              bias=True, dtype=None):
+        sizes = [in_features, *hidden_sizes, out_features]
+        acts = tuple(acts)
+        assert len(acts) == len(hidden_sizes) + 1
+        keys = jax.random.split(key, len(acts) + 1)
+        layers = tuple(
+            Dense.build(keys[i], sizes[i], sizes[i + 1], bias=bias, dtype=dtype)
+            for i in range(len(acts))
+        )
+        fb = PlusBias.build(keys[-1], out_features, dtype) if final_bias else None
+        return cls(layers=layers, acts=acts, pre_act=pre_act, final_bias=fb,
+                   features_axis=features_axis)
+
+    def __call__(self, x):
+        axis = self.features_axis
+        if axis not in (-1, x.ndim - 1):
+            x = jnp.moveaxis(x, axis, -1)
+        y = x
+        if self.pre_act is not None:
+            y = ACTIVATIONS[self.pre_act](y)
+        for layer, act in zip(self.layers, self.acts):
+            y = layer(y)
+            if act is not None:
+                y = ACTIVATIONS[act](y)
+        if self.final_bias is not None:
+            y = self.final_bias(y)
+        if axis not in (-1, x.ndim - 1):
+            y = jnp.moveaxis(y, -1, axis)
+        return y
+
+    def zeroed(self) -> "LinearNet":
+        return jax.tree_util.tree_map(jnp.zeros_like, self)
+
+    def transfer(self, **kwargs):
+        return self

@@ -1,0 +1,234 @@
+r"""Spectral flows: FFT-diagonal linear flow, mean-field flow, PSD block.
+
+TPU-native re-design of /root/reference/src/nn/scalar/fftflow_.py,
+meanfield_.py and psd_.py.  ``rfftn``/``irfftn`` are XLA-native on TPU; the
+spectral multiply is elementwise in k-space and the exact log-Jacobian is a
+sum of log-weights with the rfft redundancy correction
+(reference fftflow_.py:167-180).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lattice import rfft_lattice_k2
+from ..struct import Pytree, static
+from .core import Flow, sum_density
+from .elementwise import DistConvertor, SplineFlow
+
+__all__ = ["FFTFlow", "IPSD", "MeanFieldFlow", "PSDBlock", "FreeScalar"]
+
+
+class IPSD(Pytree):
+    """Inverse power spectral density net: ``y0 + y1 * spline(k^2 / k^2_max)``.
+
+    Mirrors ``IPSD`` (reference fftflow_.py:224-263): a trainable-knot spline
+    over normalized lattice momenta with trainable log-scales ``logy``;
+    ``ignore_zeromode`` pins the k=0 weight to 1 so the zero mode passes
+    through the FFT flow untouched.
+    """
+
+    spline: SplineFlow
+    logy: jax.Array
+    ignore_zeromode: bool = static(default=False)
+
+    @classmethod
+    def build(cls, knots_len, *, logy, ignore_zeromode=False, smooth=False,
+              dtype=None, **spline_kwargs):
+        spline = SplineFlow.build(knots_len, smooth=smooth, dtype=dtype,
+                                  **spline_kwargs)
+        return cls(spline=spline, logy=jnp.asarray(logy, dtype),
+                   ignore_zeromode=ignore_zeromode)
+
+    def __call__(self, x):
+        y = jnp.exp(self.logy)
+        s, _ = self.spline.forward(x, density=True)
+        sigma_k2 = y[0] + y[1] * s
+        if self.ignore_zeromode:
+            idx = (0,) * x.ndim
+            sigma_k2 = sigma_k2.at[idx].set(1.0)
+        return sigma_k2
+
+    @staticmethod
+    def apply_scale(logy, *, a, ndim):
+        """Absorb lattice-spacing powers into the log-scales
+        (reference fftflow_.py:253-259)."""
+        log_a = np.log(a)
+        return jnp.asarray([logy[0] + log_a * ndim, logy[1] + log_a * (ndim - 2)])
+
+    def transfer(self, scale_factor=1, ndim=1):
+        logy = self.apply_scale(self.logy, a=1 / scale_factor, ndim=ndim)
+        return self.replace(logy=logy)
+
+    def infrared_mass(self, max_lat_k2=None):
+        """Dimensionless infrared mass (reference fftflow_.py:261-263)."""
+        return jnp.exp(0.5 * self.logy[0])
+
+
+class FreeScalar:
+    """Free-theory momentum grid helper (reference fftflow_.py:318-333)."""
+
+    def __init__(self, lat_shape, kappa=None, m_sq=None):
+        self.lat_shape = tuple(lat_shape)
+        self.kappa = kappa
+        self.m_sq = m_sq
+
+    def calc_lattice_k2(self):
+        return rfft_lattice_k2(self.lat_shape)
+
+
+class FFTFlow(Flow):
+    r"""Linear spectral flow: ``y = irfftn(rfftn(x) * w)``, ``w = ipsd^{-1/2}``.
+
+    Mirrors ``FFTNet_`` (reference fftflow_.py:37-220).  Exact log-Jacobian:
+    every rfft mode appears twice (k and -k) except the first and last
+    entries of the halved axis, so ``logJ = 2 sum log w - (log w|_{k_last=0}
+    + log w|_{k_last=max})`` (fftflow_.py:167-180).  Works with or without a
+    batch axis (negative-axis ffts).
+    """
+
+    ipsd_net: IPSD
+    lat_shape: tuple = static(default=())
+    ignore_zeromode: bool = static(default=False)
+    label: str | None = static(default="fftflow_")
+
+    @property
+    def lat_ndim(self):
+        return len(self.lat_shape)
+
+    @property
+    def _fft_axes(self):
+        return tuple(range(-self.lat_ndim, 0))
+
+    def _norm_k2(self, dtype):
+        k2 = rfft_lattice_k2(self.lat_shape, dtype)
+        return k2 / jnp.max(k2)
+
+    @property
+    def ipsd(self):
+        return self.ipsd_net(self._norm_k2(jnp.result_type(float)))
+
+    @classmethod
+    def build(cls, lat_shape, knots_len=10, eff_mass2=1.0, eff_kappa=1.0,
+              a=1.0, ignore_zeromode=False, dtype=None, **ipsd_kwargs):
+        """Factory with effective mass/kappa initialization
+        (reference fftflow_.py:138-165)."""
+        lat_shape = tuple(lat_shape)
+        max_k2 = float(np.max(np.asarray(rfft_lattice_k2(lat_shape))))
+        if knots_len < 2:
+            knots_len = 2
+            ipsd_kwargs.setdefault("smooth", True)
+        logm2 = float(np.log(eff_mass2))
+        logk2 = float(np.log(eff_kappa * max_k2))
+        logy = IPSD.apply_scale(
+            jnp.asarray([logm2, logk2]), a=a, ndim=len(lat_shape))
+        ipsd_net = IPSD.build(knots_len, logy=logy,
+                              ignore_zeromode=ignore_zeromode, dtype=dtype,
+                              **ipsd_kwargs)
+        return cls(ipsd_net=ipsd_net, lat_shape=lat_shape,
+                   ignore_zeromode=ignore_zeromode)
+
+    def forward(self, x, log0=0.0, *, density: bool = False):
+        w = 1.0 / jnp.sqrt(self.ipsd_net(self._norm_k2(x.dtype)))
+        axes = self._fft_axes
+        y = jnp.fft.irfftn(jnp.fft.rfftn(x, axes=axes) * w, s=self.lat_shape,
+                           axes=axes)
+        return y, log0 + self.log_jacobian(w, density)
+
+    def backward(self, x, log0=0.0, *, density: bool = False):
+        w = 1.0 / jnp.sqrt(self.ipsd_net(self._norm_k2(x.dtype)))
+        axes = self._fft_axes
+        y = jnp.fft.irfftn(jnp.fft.rfftn(x, axes=axes) / w, s=self.lat_shape,
+                           axes=axes)
+        return y, log0 - self.log_jacobian(w, density)
+
+    def log_jacobian(self, w, density: bool = False):
+        """log|det| of the spectral multiply (the FFT itself is volume
+        preserving) -- reference fftflow_.py:167-180."""
+        axes = self._fft_axes
+        sumlog = lambda a: jnp.sum(jnp.log(a), axis=axes)
+        logj = 2 * sumlog(w) - (sumlog(w[..., 0:1]) + sumlog(w[..., -1:]))
+        if not density:
+            return logj
+        # uniform density spread (reference ``create_density``,
+        # fftflow_.py:211-220)
+        n = int(np.prod(self.lat_shape))
+        ones = jnp.ones((*jnp.shape(logj), *self.lat_shape), w.dtype)
+        return jnp.reshape(logj / n, (*jnp.shape(logj),) + (1,) * self.lat_ndim) * ones
+
+    @property
+    def infrared_mass(self):
+        return self.ipsd_net.infrared_mass()
+
+    def transfer(self, scale_factor=1, shape=None, **extra):
+        """Map weights to a new lattice/spacing (reference fftflow_.py:187-209)."""
+        shape = self.lat_shape if shape is None else tuple(shape)
+        ipsd_net = self.ipsd_net.transfer(scale_factor=scale_factor,
+                                          ndim=self.lat_ndim)
+        return self.replace(ipsd_net=ipsd_net, lat_shape=shape)
+
+
+class MeanFieldFlow(Flow):
+    """Distribution convertor for the volume-mean mode only.
+
+    Mirrors ``MeanFieldNet_`` (reference meanfield_.py:18-66): the mean is
+    scaled by sqrt(V) (so the inner convertor sees an O(1) variable),
+    transformed, and redistributed.
+    """
+
+    dc: Any
+    label: str | None = static(default="mean-field")
+
+    @classmethod
+    def build(cls, knots_len=10, dtype=None, **kwargs):
+        return cls(dc=DistConvertor.build(knots_len, dtype=dtype, **kwargs))
+
+    def forward(self, x, log0=0.0, *, density: bool = False, rvol=None):
+        return self._apply(x, log0, density, rvol, self.dc.forward)
+
+    def backward(self, x, log0=0.0, *, density: bool = False, rvol=None):
+        return self._apply(x, log0, density, rvol, self.dc.backward)
+
+    def _apply(self, x, log0, density, rvol, fn):
+        if rvol is None:
+            dims = tuple(range(1, x.ndim))
+            rvol = float(np.prod(x.shape[1:])) ** 0.5
+            x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))
+            y_scaled, log0 = fn(x_mean * rvol, log0, density=density)
+            return x + (y_scaled / rvol - x_mean), log0
+        # x is already the mean field (PSDBlock path)
+        y_scaled, log0 = fn(x * rvol, log0, density=density)
+        return y_scaled / rvol, log0
+
+
+class PSDBlock(Flow):
+    """Mean + fluctuation split: ``MeanFieldFlow`` on the mean,
+    ``FFTFlow`` on the fluctuation (reference psd_.py:17-57)."""
+
+    mfnet: Any
+    fftnet: Any
+    label: str | None = static(default="psd-block")
+
+    def forward(self, x, log0=0.0, *, density: bool = False):
+        return self._apply(x, log0, density, inverse=False)
+
+    def backward(self, x, log0=0.0, *, density: bool = False):
+        return self._apply(x, log0, density, inverse=True)
+
+    def _apply(self, x, log0, density, inverse):
+        dims = tuple(range(1, x.ndim))
+        rvol = float(np.prod(x.shape[1:])) ** 0.5
+        x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))
+        mf = self.mfnet.backward if inverse else self.mfnet.forward
+        fft = self.fftnet.backward if inverse else self.fftnet.forward
+        y_mf, logj_mf = mf(x_mean, rvol=rvol, density=density)
+        y_fft, logj_fft = fft(x - x_mean, density=density)
+        return y_mf + y_fft, log0 + logj_mf + logj_fft
+
+    def transfer(self, **kwargs):
+        return self.replace(mfnet=self.mfnet.transfer(**kwargs),
+                            fftnet=self.fftnet.transfer(**kwargs))

@@ -14,6 +14,14 @@ from ..models.elementwise import (
     Pade32, SgnBias, SplineFlow, UnityDistConvertor, PhaseDistConvertor,
     DistConvertor,
 )
+from ..models.nets import ConvNet, LinearNet, CircularConv, Dense, ACTIVATIONS
+from ..models.couplings import (
+    Coupling, ShiftCoupling, AffineCoupling, RQSplineCoupling,
+    MultiRQSplineCoupling, DirectCntrCoupling, CntrCoupling,
+    CntrShiftCoupling, CntrAffineCoupling, CntrRQSplineCoupling,
+    CntrMultiRQSplineCoupling,
+)
+from ..models.spectral import FFTFlow, IPSD, MeanFieldFlow, PSDBlock
 
 # Reference-parity aliases (trailing underscore convention)
 Module_ = Flow
@@ -35,3 +43,19 @@ SplineNet_ = SplineFlow
 UnityDistConvertor_ = UnityDistConvertor
 PhaseDistConvertor_ = PhaseDistConvertor
 DistConvertor_ = DistConvertor
+ConvAct = ConvNet
+LinearAct = LinearNet
+Coupling_ = Coupling
+ShiftCoupling_ = ShiftCoupling
+AffineCoupling_ = AffineCoupling
+RQSplineCoupling_ = RQSplineCoupling
+MultiRQSplineCoupling_ = MultiRQSplineCoupling
+DirectCntrCoupling_ = DirectCntrCoupling
+CntrCoupling_ = CntrCoupling
+CntrShiftCoupling_ = CntrShiftCoupling
+CntrAffineCoupling_ = CntrAffineCoupling
+CntrRQSplineCoupling_ = CntrRQSplineCoupling
+CntrMultiRQSplineCoupling_ = CntrMultiRQSplineCoupling
+FFTNet_ = FFTFlow
+MeanFieldNet_ = MeanFieldFlow
+PSDBlock_ = PSDBlock

@@ -1,0 +1,60 @@
+r"""Fused phi^4 action kernel: stencil + elementwise + reduction in one pass.
+
+The XLA path (models/actions.py) materializes the rolled neighbor products;
+this kernel keeps a batch-tile of configurations VMEM-resident and emits only
+the per-sample action -- one HBM read of the field, no intermediates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["phi4_action_pallas"]
+
+
+def _phi4_kernel(x_ref, o_ref, *, w0, w2, w4, nd):
+    x = x_ref[:]  # (TB, *lat)
+    phi2 = x * x
+    acc = w2 * phi2 + w4 * phi2 * phi2
+    if w0 != 0.0:
+        neigh = 0.0
+        for mu in range(1, nd + 1):
+            neigh = neigh + pltpu.roll(x, 1, mu)
+        acc = acc - w0 * x * neigh
+    o_ref[:] = jnp.sum(acc, axis=tuple(range(1, nd + 1)))[:, None]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def phi4_action_pallas(cfgs, w0, w2, w4, batch_tile: int = 8,
+                       interpret: bool = False):
+    """Per-sample phi^4 action ``S = sum(w2 x^2 + w4 x^4) - w0 sum_mu x roll(x)``.
+
+    ``cfgs``: (B, *lat) with 1-3 lattice dims.  Must have ``B % batch_tile
+    == 0``.  Matches ``ScalarPhi4Action.action`` bit-for-bit up to reduction
+    order (reference scalar_action.py:38-46).
+    """
+    b = cfgs.shape[0]
+    lat = cfgs.shape[1:]
+    nd = len(lat)
+    assert 1 <= nd <= 3, "pallas phi4 kernel supports 1-3 lattice dims"
+    tb = min(batch_tile, b)
+    while b % tb:
+        tb -= 1
+
+    kernel = functools.partial(_phi4_kernel, w0=w0, w2=w2, w4=w4, nd=nd)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1), cfgs.dtype),
+        grid=(b // tb,),
+        in_specs=[pl.BlockSpec((tb, *lat), lambda i: (i,) + (0,) * nd,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cfgs)
+    return out[:, 0]

@@ -61,7 +61,8 @@ class Fitter:
     # ------------------------------------------------------------------ #
     def __call__(self, n_epochs=1000, save_every=None, batch_size=64,
                  optimizer_class="adamw", scheduler=None, loss_fn=None,
-                 hyperparam=None, checkpoint_dict=None, param_groups=None):
+                 hyperparam=None, checkpoint_dict=None, param_groups=None,
+                 steps_per_call=None):
         """Fit the model (reference _normflowcore.py:151-219).
 
         ``optimizer_class``: an optax GradientTransformation factory
@@ -93,7 +94,8 @@ class Fitter:
 
         self._step_fn = self._make_step_fn()
         self._eval_fn = None  # rebuilt lazily (depends on loss_fn)
-        return self.train(n_epochs, batch_size, save_every)
+        return self.train(n_epochs, batch_size, save_every,
+                          steps_per_call=steps_per_call)
 
     # ------------------------------------------------------------------ #
     def _build_optimizer(self, optimizer_class, scheduler, param_groups):
@@ -133,7 +135,9 @@ class Fitter:
             hyper = dict(self.hyperparam)
             hyper.update(spec.get("hyper", {}))
             txs[f"g{g + 1}"] = make_tx(hyper)
-        return optax.multi_transform(txs, labels)
+        # NB: the label pytree is itself callable (FlowList), so hand optax a
+        # thunk -- otherwise it would call the labels as a function of params.
+        return optax.multi_transform(txs, lambda params: labels)
 
     # ------------------------------------------------------------------ #
     def _make_step_fn(self):
@@ -143,8 +147,7 @@ class Fitter:
         optimizer = self.optimizer
         sharder = self._model.device_handler.batch_sharder()
 
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
-        def step(net, opt_state, key, batch_size):
+        def step_core(net, opt_state, key, batch_size):
             def loss_of(net):
                 x, logr = prior.sample_(key, batch_size)
                 x = sharder(x)
@@ -165,6 +168,27 @@ class Fitter:
                 lambda a, b: jnp.where(ok, b, a), old, new)
             return sel(net, new_net), sel(opt_state, new_opt), loss, logq - logp
 
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+        def step(net, opt_state, key, batch_size):
+            return step_core(net, opt_state, key, batch_size)
+
+        # Multi-epoch segment in ONE device program (lax.scan over steps):
+        # removes per-epoch Python/dispatch overhead from the hot loop -- the
+        # TPU-native replacement for the reference's Python epoch loop.
+        @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0, 1))
+        def multi_step(net, opt_state, key, batch_size, n_steps):
+            def body(carry, k):
+                net, opt_state = carry
+                net, opt_state, loss, _ = step_core(net, opt_state, k,
+                                                    batch_size)
+                return (net, opt_state), loss
+
+            keys = jax.random.split(key, n_steps)
+            (net, opt_state), losses = jax.lax.scan(body, (net, opt_state),
+                                                    keys)
+            return net, opt_state, losses
+
+        self._multi_step_fn = multi_step
         return step
 
     def _make_eval_fn(self):
@@ -184,8 +208,14 @@ class Fitter:
         return evaluate
 
     # ------------------------------------------------------------------ #
-    def train(self, n_epochs, batch_size=None, save_every=None):
-        """Run the epoch loop (reference _normflowcore.py:249-273)."""
+    def train(self, n_epochs, batch_size=None, save_every=None,
+              steps_per_call=None):
+        """Run the epoch loop (reference _normflowcore.py:249-273).
+
+        ``steps_per_call > 1`` runs that many epochs per device program via
+        ``lax.scan`` (segments are cut at checkpoint epochs so printed
+        metrics and snapshots land on the same epochs as ``steps_per_call=1``).
+        """
         if batch_size is not None:
             self.train_batch_size = batch_size
         if save_every is None:
@@ -193,12 +223,39 @@ class Fitter:
         if self._step_fn is None:
             self._step_fn = self._make_step_fn()
         model = self._model
+        print_stride = self.checkpoint_dict["print_stride"]
+        evals_on = print_stride is not None
+        stride = max(int(print_stride), 1) if evals_on else n_epochs + 1
+        spc = steps_per_call or 1
 
-        loss = jnp.nan
+        def next_stop(epoch):
+            stops = [n_epochs, epoch + spc]
+            if evals_on:
+                for mark in (1, 10):
+                    if epoch < mark:
+                        stops.append(mark)
+                stops.append((epoch // stride + 1) * stride)
+            if save_every > 0:
+                stops.append((epoch // save_every + 1) * save_every)
+            return min(s for s in stops if s > epoch)
+
         t1 = time.time()
-        for epoch in range(1, n_epochs + 1):
-            loss, logqp = self.step()
-            self.checkpoint(epoch, loss, save_every)
+        epoch = 0
+        while epoch < n_epochs:
+            seg = next_stop(epoch) - epoch
+            if seg == 1:
+                loss, _ = self.step()
+                losses = [loss]
+            else:
+                net, self.opt_state, losses = self._multi_step_fn(
+                    model.net_, self.opt_state, model.next_key(),
+                    self.train_batch_size, seg)
+                model.net_ = net
+            epoch += seg
+            if model.device_handler.rank == 0:
+                self.train_history["loss"].extend(
+                    float(l) for l in jnp.atleast_1d(jnp.asarray(losses)))
+            self.checkpoint(epoch, jnp.asarray(losses)[-1], save_every)
         t2 = time.time()
         if n_epochs > 0 and model.device_handler.rank == 0:
             print(f"({jax.devices()[0].platform}) Time = {t2 - t1:.3g} sec.")
@@ -215,15 +272,19 @@ class Fitter:
 
     # ------------------------------------------------------------------ #
     def checkpoint(self, epoch, loss, save_every):
-        """Metric logging + snapshotting (reference _normflowcore.py:296-323)."""
+        """Metric printing + snapshotting (reference _normflowcore.py:296-323).
+
+        (Per-epoch loss history is appended by ``train``.)
+        """
         model = self._model
         rank = model.device_handler.rank
         cd = self.checkpoint_dict
         if rank == 0:
-            self.train_history["loss"].append(float(loss))
             if cd["snapshot_path"] is not None and (epoch % save_every == 0):
                 self._save_snapshot(epoch)
 
+        if cd["print_stride"] is None:  # evals disabled
+            return
         if epoch == 1 or epoch == 10 or (epoch % cd["print_stride"] == 0):
             if self._eval_fn is None:
                 self._eval_fn = self._make_eval_fn()

@@ -1,0 +1,286 @@
+"""Bijection property tests: every flow must round-trip with logJ cancellation.
+
+Generalizes the reference's ``backward_sanitychecker`` into pytest
+(SURVEY.md §4 test strategy (a)): forward∘backward = id, logJ antisymmetry,
+finite-difference Jacobian checks, density-propagation consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflow__tpu as nf
+from normflow__tpu.models import (
+    AffineCoupling, ArcTanh, CircularConv, ConvNet, DistConvertor,
+    EvenOddMask, Expit, FFTFlow, FlowList, Identity, LinearNet, Logit,
+    MeanFieldFlow, MultiRQSplineCoupling, Pade11, Pade22, Pade32, PSDBlock,
+    RQSplineCoupling, Scale, SgnBias, ShiftCoupling, SplineFlow, Tanh,
+)
+
+
+def check_roundtrip(flow, x, atol=1e-8, **kwargs):
+    y, logj = flow.forward(x, **kwargs)
+    x2, logj0 = flow.backward(y, log0=logj, **kwargs)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=atol)
+    np.testing.assert_allclose(np.asarray(logj0), 0.0, atol=atol)
+    return y, logj
+
+
+def check_logj_fd(flow, x, rtol=1e-4):
+    """Per-sample logJ vs finite-difference log|det| via jacfwd (small x)."""
+    def fwd_flat(xf):
+        y, _ = flow.forward(xf.reshape(1, -1))
+        return y.ravel()
+
+    for i in range(min(3, x.shape[0])):
+        xf = x[i].ravel()
+        jac = jax.jacfwd(fwd_flat)(xf)
+        _, logdet = jnp.linalg.slogdet(jac)
+        _, logj = flow.forward(x[i][None])
+        np.testing.assert_allclose(float(logj[0]), float(logdet), rtol=rtol)
+
+
+UNIT_FLOWS = [
+    lambda: Pade11.build(),
+    lambda: Pade22.build(),
+    lambda: Pade22.build(symmetric=True),
+    lambda: SplineFlow.build(8),
+    lambda: nf.models.UnityDistConvertor.build(6, symmetric=True),
+]
+
+REAL_FLOWS = [
+    lambda: Identity(),
+    lambda: Scale.build().replace(w=jnp.asarray([0.7])),
+    lambda: Tanh(),
+    lambda: Expit(),
+    lambda: SgnBias.build(),
+    lambda: Pade32.build().replace(w0=jnp.asarray([0.4])),
+    lambda: DistConvertor.build(10, symmetric=True),
+    lambda: DistConvertor.build(8, sgnbias=True, initial_scale=True),
+    lambda: MeanFieldFlow.build(6),
+]
+
+
+@pytest.mark.parametrize("mk", UNIT_FLOWS)
+def test_unit_interval_flows_roundtrip(rng, mk):
+    flow = mk()
+    # perturb params away from identity
+    flow = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jnp.asarray(rng.standard_normal(p.shape)), flow)
+    x = jnp.asarray(rng.random((16, 5)) * 0.98 + 0.01)
+    check_roundtrip(flow, x, atol=1e-9)
+
+
+@pytest.mark.parametrize("mk", REAL_FLOWS)
+def test_real_line_flows_roundtrip(rng, mk):
+    flow = mk()
+    x = jnp.asarray(rng.standard_normal((8, 4, 4)))
+    check_roundtrip(flow, x, atol=1e-8)
+
+
+def test_logj_vs_jacobian_det(rng):
+    flow = DistConvertor.build(8, symmetric=True)
+    flow = jax.tree_util.tree_map(
+        lambda p: p + 0.2 * jnp.asarray(rng.standard_normal(p.shape)), flow)
+    x = jnp.asarray(rng.standard_normal((3, 4)))
+    check_logj_fd(flow, x)
+
+
+def test_density_propagation_consistency(rng):
+    flow = DistConvertor.build(8, symmetric=True)
+    x = jnp.asarray(rng.standard_normal((6, 3, 3)))
+    _, logj = flow.forward(x)
+    _, logj_density = flow.forward(x, density=True)
+    np.testing.assert_allclose(
+        np.asarray(logj), np.asarray(logj_density.sum(axis=(1, 2))),
+        atol=1e-10)
+
+
+# ------------------------------------------------------------------ #
+# convolution oracle
+# ------------------------------------------------------------------ #
+def _circular_conv_oracle(x, w):
+    """Brute-force circular cross-correlation, channels-last, any dim."""
+    nd = w.ndim - 2
+    ks = w.shape[:nd]
+    out = np.zeros((*x.shape[:-1], w.shape[-1]))
+    for idx in np.ndindex(*ks):
+        shifted = x
+        for d, (i, k) in enumerate(zip(idx, ks)):
+            shifted = np.roll(shifted, -(i - k // 2), axis=1 + d)
+        out += np.einsum("...i,io->...o", shifted, w[idx])
+    return out
+
+
+@pytest.mark.parametrize("conv_dim,shape", [(1, (6,)), (2, (6, 4)),
+                                            (3, (4, 4, 4)), (4, (4, 4, 4, 4))])
+def test_circular_conv_matches_oracle(rng, key, conv_dim, shape):
+    conv = CircularConv.build(key, 2, 3, kernel_size=3, conv_dim=conv_dim)
+    x = rng.standard_normal((2, *shape, 2))
+    got = conv(jnp.asarray(x))
+    want = _circular_conv_oracle(x, np.asarray(conv.weight))
+    if conv.bias is not None:
+        want = want + np.asarray(conv.bias)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+def test_convnet_stack(rng, key):
+    net = ConvNet.build(key, 1, 2, kernel_size=3, conv_dim=2,
+                        hidden_sizes=(4,), acts=("tanh", None), bias=False)
+    x = jnp.asarray(rng.standard_normal((3, 8, 8, 1)))
+    y = net(x)
+    assert y.shape == (3, 8, 8, 2)
+    # z2 symmetry: odd activations + no bias => net(-x) = -net(x)
+    np.testing.assert_allclose(np.asarray(net(-x)), -np.asarray(y), atol=1e-12)
+
+
+def test_linear_net(rng, key):
+    net = LinearNet.build(key, 5, 3, hidden_sizes=(7,), acts=("relu", None),
+                          final_bias=True)
+    x = jnp.asarray(rng.standard_normal((4, 5)))
+    assert net(x).shape == (4, 3)
+    net2 = LinearNet.build(key, 5, 3, features_axis=1)
+    x2 = jnp.asarray(rng.standard_normal((4, 5, 6)))
+    assert net2(x2).shape == (4, 3, 6)
+
+
+# ------------------------------------------------------------------ #
+# couplings
+# ------------------------------------------------------------------ #
+def _coupling_nets(key, out_channels, n=2, lat=(6, 6)):
+    return tuple(
+        ConvNet.build(k, 1, out_channels, kernel_size=3, conv_dim=len(lat),
+                      hidden_sizes=(4,), acts=("tanh", None))
+        for k in jax.random.split(key, n)
+    )
+
+
+def test_shift_coupling_roundtrip(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    c = ShiftCoupling(nets=_coupling_nets(key, 1), mask=mask)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    y, logj = check_roundtrip(c, x, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(logj), 0.0)  # volume preserving
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_affine_coupling_roundtrip_and_logj(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    c = AffineCoupling(nets=_coupling_nets(key, 2), mask=mask)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    check_roundtrip(c, x, atol=1e-8)
+    # logJ <= 0 because s = |s| makes exp(-s) <= 1 (couplings_.py:129)
+    _, logj = c.forward(x)
+    assert bool(jnp.all(logj <= 1e-12))
+
+
+def test_rqspline_coupling_roundtrip(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    m = 8
+    c = RQSplineCoupling.build(
+        _coupling_nets(key, 3 * m - 2), mask=mask,
+        xlim=(-3, 3), ylim=(-3, 3),
+        extrap={"left": "linear", "right": "linear"})
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    check_roundtrip(c, x, atol=1e-8)
+
+
+def test_multi_rqspline_coupling_roundtrip(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    m = 6
+    nets = tuple(
+        ConvNet.build(k, 2, 2 * (3 * m - 2), kernel_size=3, conv_dim=2)
+        for k in jax.random.split(key, 2)
+    )
+    c = MultiRQSplineCoupling.build(
+        nets, mask=mask,
+        xlims=[(-3, 3), (0, 1)], ylims=[(-3, 3), (0, 1)],
+        extraps=[{"left": "linear", "right": "linear"}, {}])
+    x1 = rng.standard_normal((4, 6, 6, 1))
+    x2 = rng.random((4, 6, 6, 1)) * 0.96 + 0.02
+    x = jnp.asarray(np.concatenate([x1, x2], axis=-1))
+    check_roundtrip(c, x, atol=1e-8)
+
+
+def test_coupling_jit_grad(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    c = AffineCoupling(nets=_coupling_nets(key, 2), mask=mask)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+
+    @jax.jit
+    def loss(c, x):
+        y, logj = c.forward(x)
+        return jnp.sum(y**2) + jnp.sum(logj)
+
+    g = jax.grad(loss)(c, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+# ------------------------------------------------------------------ #
+# spectral flows
+# ------------------------------------------------------------------ #
+def test_fftflow_roundtrip_and_gaussian_oracle(rng):
+    # SURVEY §4 oracle (b): an FFTFlow with fixed IPSD must turn white noise
+    # into a free field with the matching 2-pt function.
+    lat = (8, 8)
+    flow = FFTFlow.build(lat, knots_len=2, eff_mass2=1.0, eff_kappa=1.0)
+    x = jnp.asarray(rng.standard_normal((16, *lat)))
+    check_roundtrip(flow, x, atol=1e-8)
+
+    # logJ oracle: sum over full fft grid of log(1/sqrt(ipsd)) with
+    # rfft doubling handled == direct det of the linear map.
+    w = 1.0 / jnp.sqrt(flow.ipsd)
+    logj_direct = float(flow.log_jacobian(w))
+    e = jnp.zeros(np.prod(lat))
+    jac = jax.jacfwd(lambda v: flow.forward(v.reshape(1, *lat))[0].ravel())(e)
+    _, logdet = jnp.linalg.slogdet(jac)
+    np.testing.assert_allclose(logj_direct, float(logdet), rtol=1e-9)
+
+
+def test_fftflow_free_theory_variance(rng):
+    # With ipsd = kappa*k^2 + m^2, samples y = irfft(rfft(z) * ipsd^-1/2)
+    # have <|y_k|^2> = 1/(ipsd_k) / V per mode; check the real-space variance
+    # against the exact lattice propagator sum.
+    lat = (16, 16)
+    m2, kap = 0.5, 1.0
+    flow = FFTFlow.build(lat, knots_len=2, eff_mass2=m2, eff_kappa=kap,
+                         smooth=True)
+    z = jnp.asarray(rng.standard_normal((4096, *lat)))
+    y, _ = flow.forward(z)
+    var = float(jnp.var(y))
+    from normflow__tpu.ops.lattice import lattice_k2
+    k2 = np.asarray(lattice_k2(lat))
+    # ipsd spline init is identity on normalized k2: ipsd = m2 + kap*max_k2*(k2/max_k2)
+    var_exact = float(np.mean(1.0 / (m2 + kap * k2)))
+    np.testing.assert_allclose(var, var_exact, rtol=0.05)
+
+
+def test_psd_block_roundtrip(rng, key):
+    lat = (8, 8)
+    block = PSDBlock(
+        mfnet=MeanFieldFlow.build(6, symmetric=True, final_scale=True,
+                                  smooth=True),
+        fftnet=FFTFlow.build(lat, knots_len=6, ignore_zeromode=True),
+    )
+    x = jnp.asarray(rng.standard_normal((8, *lat)))
+    check_roundtrip(block, x, atol=1e-8)
+
+
+def test_flowlist_composition(rng, key):
+    lat = (6, 6)
+    net = FlowList(flows=(
+        PSDBlock(
+            mfnet=MeanFieldFlow.build(4, symmetric=True, smooth=True),
+            fftnet=FFTFlow.build(lat, knots_len=4, ignore_zeromode=True)),
+        DistConvertor.build(8, symmetric=True, smooth=True),
+        AffineCoupling(nets=_coupling_nets(key, 2, lat=lat),
+                       mask=EvenOddMask(shape=lat)),
+        DistConvertor.build(8, symmetric=True, smooth=True),
+    ))
+    x = jnp.asarray(rng.standard_normal((4, *lat)))
+    check_roundtrip(net, x, atol=1e-7)
+    # intermediates
+    stack = net.hack(x)
+    assert len(stack) == 5

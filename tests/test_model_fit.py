@@ -1,0 +1,151 @@
+"""Integration tests: Model / Fitter / checkpointing / losses."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflow__tpu as nf
+from normflow__tpu.training import losses
+
+
+def _zerodim_model(seed=5):
+    net = nf.nn.DistConvertor_.build(10, symmetric=True)
+    prior = nf.prior.NormalPrior.build(shape=(1,))
+    action = nf.action.ScalarPhi4Action(kappa=0, m_sq=-1.2, lambd=0.5)
+    return nf.Model(net_=net, prior=prior, action=action, seed=seed)
+
+
+def test_zerodim_training_hits_reference_targets():
+    """Parity with reference README.md:52-58: loss ~ -1.05 and accept ~0.914
+    at epoch 500 (we train to at least those numbers)."""
+    model = _zerodim_model()
+    hist = model.fit(n_epochs=500, batch_size=128,
+                     hyperparam=dict(lr=0.01, weight_decay=0.0),
+                     checkpoint_dict=dict(print_stride=250))
+    assert hist["loss"][-1] <= -1.0, hist["loss"][-1]
+    accept_mean, _ = hist["accept_rate"][-1]
+    assert accept_mean >= 0.9, accept_mean
+    assert hist["ess"][-1] >= 0.95
+
+
+def test_posterior_sample_and_log_prob():
+    model = _zerodim_model()
+    y, logq = model.posterior.sample_(64)
+    lq = model.posterior.log_prob(y)
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(logq), atol=1e-8)
+
+
+def test_posterior_preprocess_func():
+    model = _zerodim_model()
+    calls = []
+
+    def pre(x, logr):
+        calls.append(1)
+        return x * 0.5, logr
+
+    y, logq = model.posterior.sample_(8, preprocess_func=pre)
+    assert calls and y.shape == (8, 1)
+
+
+def test_transform():
+    model = _zerodim_model()
+    x = model.prior.sample(jax.random.key(0), 4)
+    y = model.transform(x)
+    assert y.shape == x.shape
+
+
+def test_loss_zoo_consistency(rng):
+    logq = jnp.asarray(rng.standard_normal(256))
+    logp = logq + jnp.asarray(rng.standard_normal(256)) * 0.1
+    assert np.isfinite(float(losses.calc_kl_mean(logq, logp)))
+    assert float(losses.calc_kl_var(logq, logp)) >= 0
+    assert -1 <= float(losses.calc_corrcoef(logq, logp)) <= 1
+    assert float(losses.calc_direct_kl_mean(logq, logp)) >= -1e-10
+    assert 0 < float(losses.calc_ess(logq, logp)) <= 1
+    np.testing.assert_allclose(
+        float(losses.calc_minus_ess(logq, logp)),
+        -float(losses.calc_ess(logq, logp)))
+    # kl_mean_includelogz is invariant under shifting logp by a constant
+    a = float(losses.calc_kl_mean_includelogz(logq, logp))
+    b = float(losses.calc_kl_mean_includelogz(logq, logp + 7.0))
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_alternative_loss_fn_trains():
+    model = _zerodim_model()
+    hist = model.fit(n_epochs=50, batch_size=128,
+                     loss_fn=losses.calc_kl_var,
+                     hyperparam=dict(lr=0.01, weight_decay=0.0),
+                     checkpoint_dict=dict(print_stride=10**9))
+    assert np.isfinite(hist["loss"]).all()
+
+
+def test_scheduler():
+    model = _zerodim_model()
+    import optax
+    sched = optax.exponential_decay(1.0, transition_steps=10, decay_rate=0.5)
+    hist = model.fit(n_epochs=30, batch_size=64, scheduler=sched,
+                     hyperparam=dict(lr=0.01, weight_decay=0.0),
+                     checkpoint_dict=dict(print_stride=10**9))
+    assert len(hist["loss"]) == 30
+
+
+def test_param_groups():
+    model = _zerodim_model()
+    # DistConvertor flows: [Expit, Spline, Logit]
+    hist = model.fit(n_epochs=20, batch_size=64,
+                     param_groups=[{"ind": [1], "hyper": dict(lr=0.02)}],
+                     hyperparam=dict(lr=0.001, weight_decay=0.0),
+                     checkpoint_dict=dict(print_stride=10**9))
+    assert len(hist["loss"]) == 20
+
+
+def test_snapshot_roundtrip(tmp_path):
+    model = _zerodim_model()
+    path = os.path.join(tmp_path, "snap.E0.msgpack")
+    model.fit(n_epochs=40, batch_size=64, save_every=20,
+              hyperparam=dict(lr=0.01, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=10**9, snapshot_path=path))
+    snaps = sorted(glob.glob(os.path.join(tmp_path, "*.msgpack")))
+    assert [os.path.basename(s) for s in snaps] == \
+        ["snap.E20.msgpack", "snap.E40.msgpack"]
+
+    model2 = _zerodim_model(seed=99)
+    model2.fit(n_epochs=5, batch_size=64,
+               hyperparam=dict(lr=0.01, weight_decay=0.0),
+               checkpoint_dict=dict(print_stride=10**9,
+                                    snapshot_path=snaps[-1]))
+    assert model2.fit.checkpoint_dict["epochs_run"] == 40
+
+
+def test_weights_blob_roundtrip():
+    model = _zerodim_model()
+    model.fit(n_epochs=10, batch_size=64,
+              hyperparam=dict(lr=0.01, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=10**9))
+    blob = model.net_.get_weights_blob()
+    net2 = _zerodim_model(seed=1).net_.set_weights_blob(blob)
+    for a, b in zip(jax.tree_util.tree_leaves(model.net_),
+                    jax.tree_util.tree_leaves(net2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard_keeps_params():
+    model = _zerodim_model()
+    before = jax.tree_util.tree_leaves(model.net_)
+    model.fit(n_epochs=5, batch_size=16,
+              hyperparam=dict(lr=1e8, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=10**9))
+    after = jax.tree_util.tree_leaves(model.net_)
+    assert all(bool(jnp.all(jnp.isfinite(a))) for a in after)
+
+
+def test_backward_sanitychecker_api():
+    model = _zerodim_model()
+    (x, y, x_hat), (logj, log0_hat) = nf.backward_sanitychecker(
+        model, n_samples=3, return_details=True, verbose=False)
+    assert x.shape == x_hat.shape == (3, 1)

@@ -1,0 +1,93 @@
+"""Multi-chip (virtual 8-device CPU mesh) tests for the parallel layer.
+
+The TPU-native analogue of multi-node testing without a cluster
+(SURVEY.md §4 (d)): the same Mesh/sharding code paths run on
+``--xla_force_host_platform_device_count=8`` virtual devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflow__tpu as nf
+from normflow__tpu.parallel import make_mesh
+
+
+def _model(seed=5, lat=(8, 8)):
+    key = jax.random.key(seed)
+    from normflow__tpu.nn import AffineCoupling_, ConvAct, ModuleList_
+
+    mask = nf.mask.EvenOddMask(shape=lat)
+    nets = tuple(
+        ConvAct.build(k, 1, 2, kernel_size=3, conv_dim=2, hidden_sizes=(4,),
+                      acts=("tanh", None), bias=False)
+        for k in jax.random.split(key, 2))
+    net_ = ModuleList_(flows=(AffineCoupling_(nets=nets, mask=mask),))
+    prior = nf.prior.NormalPrior.build(shape=lat)
+    action = nf.action.ScalarPhi4Action(kappa=0.67, m_sq=-2.68, lambd=0.5)
+    return nf.Model(net_=net_, prior=prior, action=action, seed=seed)
+
+
+def test_mesh_creation():
+    mesh = make_mesh(8)
+    assert mesh.size == 8 and mesh.axis_names == ("data",)
+    mesh2 = make_mesh(4)
+    assert mesh2.size == 4
+
+
+def test_sharded_training_matches_single_device():
+    """DP sharding must be numerically transparent: same seed => same loss
+    trajectory as the unsharded run (collectives only change the schedule)."""
+    m1 = _model(seed=5)
+    h1 = m1.fit(n_epochs=10, batch_size=64,
+                hyperparam=dict(lr=0.001),
+                checkpoint_dict=dict(print_stride=10**9))
+    m2 = _model(seed=5)
+    m2.device_handler.use_mesh(n_devices=8)
+    m2.device_handler.replicate_params()
+    h2 = m2.fit(n_epochs=10, batch_size=64,
+                hyperparam=dict(lr=0.001),
+                checkpoint_dict=dict(print_stride=10**9))
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-8)
+
+
+def test_sharded_sampling_layout():
+    m = _model()
+    m.device_handler.use_mesh(n_devices=8)
+    y, logq, logp = m.posterior.sample__(batch_size=32)
+    assert y.shape == (32, 8, 8)
+    assert np.isfinite(np.asarray(logq)).all()
+
+
+def test_graft_entry_and_dryrun():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as g
+
+    fn, (net, x) = g.entry()
+    y, logj = jax.jit(fn)(net, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(logj)).all()
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
+
+
+def test_device_handler_parity_api():
+    m = _model()
+    dh = m.device_handler
+    assert dh.rank == 0 and dh.nranks == 1
+    x = jnp.ones(4)
+    np.testing.assert_array_equal(np.asarray(dh.all_gather_into_tensor(x)),
+                                  np.ones(4))
+    # spawnprocesses shim distributes over local devices and calls fn once
+    called = []
+    dh.spawnprocesses(lambda model: called.append(model), 4)
+    assert called == [m] and dh.mesh.size == 4
+
+
+def test_fold_key_deterministic():
+    from normflow__tpu.parallel import fold_key
+    k = jax.random.key(0)
+    a, b = fold_key(k), fold_key(k)
+    assert jnp.all(jax.random.key_data(a) == jax.random.key_data(b))
