@@ -30,14 +30,17 @@ REFERENCE_EFF_SAMPLES_PER_SEC = None
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--train_epochs", type=int, default=400)
+    p.add_argument("--train_epochs", type=int, default=3000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--sample_iters", type=int, default=20)
-    p.add_argument("--steps_per_call", type=int, default=100)
+    p.add_argument("--steps_per_call", type=int, default=1000)
     p.add_argument("--lat", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_pallas", action="store_true")
     args = p.parse_args()
+
+    import optax
 
     from __graft_entry__ import _flagship_model
 
@@ -45,31 +48,31 @@ def main():
 
     t0 = time.time()
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
-              hyperparam=dict(lr=2e-3, weight_decay=1e-4),
+              hyperparam=dict(lr=3e-3, weight_decay=1e-4),
+              scheduler=optax.cosine_decay_schedule(
+                  1.0, decay_steps=args.train_epochs, alpha=0.05),
               steps_per_call=args.steps_per_call,
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
-    # -- sampling throughput (jitted, fixed batch) ---------------------- #
+    # Sampling path: fused Pallas spline-coupling kernel (no grads needed).
+    if not args.no_pallas and jax.devices()[0].platform == "tpu":
+        flows = list(model.net_.flows)
+        flows[2] = flows[2].replace(backend="pallas")
+        model.net_ = model.net_.replace(flows=tuple(flows))
+
+    # -- sampling throughput (scanned: one device program) -------------- #
     key = jax.random.key(args.seed + 1)
-
-    def draw(k):
-        return model.posterior.sample__(batch_size=args.batch, key=k)
-
-    y, logq, logp = draw(key)  # compile + warmup
-    jax.block_until_ready(y)
-
-    logqps = []
+    k1, k2 = jax.random.split(key)
+    # warmup/compile
+    jax.block_until_ready(model.posterior.logqp_stream(
+        args.sample_iters, args.batch, key=k1))
     t0 = time.time()
-    for i in range(args.sample_iters):
-        key, sub = jax.random.split(key)
-        y, logq, logp = draw(sub)
-        logqps.append(logq - logp)
-    jax.block_until_ready(y)
+    logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
+                                         key=k2)
+    jax.block_until_ready(logqp)
     dt = time.time() - t0
     samples_per_sec = args.sample_iters * args.batch / dt
-
-    logqp = jnp.concatenate(logqps)
     from normflow__tpu.training.losses import calc_ess
     ess = float(calc_ess(logqp, 0.0))
     from normflow__tpu.mcmc import estimate_accept_rate

@@ -202,6 +202,37 @@ class MCMCSampler:
                 accept_ind=Metropolis.calc_accept_indices(accept_np))
         return yn, logqn, logpn
 
+    def sample_chain(self, n_batches, batch_size, key=None,
+                     collect_samples=False):
+        """Run many Metropolis rounds in one device program.
+
+        Returns a dict with per-round ``accept_rate`` (n_batches,),
+        corrected ``logq``/``logp`` streams (n_batches, batch_size), and
+        (if ``collect_samples``) all corrected samples.  The persistent
+        ``_ref`` chain state is consumed and updated exactly as ``sample__``.
+        """
+        m = self._model
+        key = m.next_key() if key is None else key
+        dt = jnp.result_type(float)
+        if self._ref is None:
+            # inf reference logqp => first proposal always accepted, so the
+            # zero dummy reference sample is never selected.
+            carry0 = (jnp.zeros(m.prior.shape, dt), jnp.asarray(jnp.inf, dt),
+                      jnp.asarray(0.0, dt))
+        else:
+            carry0 = (self._ref["sample"], jnp.asarray(self._ref["logq"], dt),
+                      jnp.asarray(self._ref["logp"], dt))
+        carry, (ys, logq, logp, accept_rate) = _chain_scan(
+            m.net_, m.prior, m.action, key, carry0, n_batches, batch_size,
+            collect_samples)
+        self._ref = dict(sample=carry[0], logq=carry[1], logp=carry[2])
+        for r in jax.device_get(accept_rate):
+            self.history.bookkeeping(accept_rate=float(r))
+        out = dict(logq=logq, logp=logp, accept_rate=accept_rate)
+        if collect_samples:
+            out["samples"] = ys
+        return out
+
     def serial_sample_generator(self, n_samples, batch_size=16, key=None):
         """Yield chain samples one by one (reference mcmc.py:89-97)."""
         m = self._model
@@ -234,15 +265,47 @@ class MCMCSampler:
         return -self._model.action(y) - action_logz
 
 
-@jax.jit
-def _accept_reject_kernel(key, y, logq, logp, ref_y, ref_logq, ref_logp):
-    """Fused accept/reject + compaction, entirely on device."""
+def _accept_reject_core(key, y, logq, logp, ref_y, ref_logq, ref_logp):
     logqp = logq - logp
     accept_seq, indices = accept_scan(key, logqp, ref_logq - ref_logp)
     ext = lambda ref, arr: jnp.concatenate([ref[None], arr], axis=0)
     take = lambda ref, arr: jnp.take(ext(ref, arr), indices, axis=0)
     return (take(ref_y, y), take(ref_logq, logq), take(ref_logp, logp),
             accept_seq)
+
+
+@jax.jit
+def _accept_reject_kernel(key, y, logq, logp, ref_y, ref_logq, ref_logp):
+    """Fused accept/reject + compaction, entirely on device."""
+    return _accept_reject_core(key, y, logq, logp, ref_y, ref_logq, ref_logp)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _chain_scan(net, prior, action, key, carry0, n_batches, batch_size,
+                collect_samples):
+    """Run ``n_batches`` propose+accept/reject rounds in ONE device program.
+
+    The chain reference state ``(ref_sample, ref_logq, ref_logp)`` is the
+    scan carry; per-round acceptance rates (and optionally all corrected
+    samples) are collected.  This is the production sampler: zero Python
+    between rounds.
+    """
+
+    def body(carry, k):
+        ref_y, ref_lq, ref_lp = carry
+        k1, k2 = jax.random.split(k)
+        x, logr = prior.sample_(k1, batch_size)
+        y, logj = net.forward(x)
+        logq = logr - logj
+        logp = -action(y)
+        yn, lqn, lpn, accept = _accept_reject_core(
+            k2, y, logq, logp, ref_y, ref_lq, ref_lp)
+        out = (yn if collect_samples else jnp.zeros((0,)),
+               lqn, lpn, jnp.mean(accept.astype(lqn.dtype)))
+        return (yn[-1], lqn[-1], lpn[-1]), out
+
+    keys = jax.random.split(key, n_batches)
+    return jax.lax.scan(body, carry0, keys)
 
 
 class BlockedMCMCSampler(MCMCSampler):

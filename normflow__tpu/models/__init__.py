@@ -11,12 +11,13 @@ from . import spectral
 
 from .core import (
     Flow, FlowList, MultiChannelFlow, MultiOutChannelFlow,
-    InvisibilityMaskWrapper, sum_density,
+    InvisibilityMaskWrapper, Frozen, freeze, unfreeze, trainable_mask,
+    sum_density,
 )
 from .elementwise import (
     Identity, Clone, Scale, Tanh, ArcTanh, Expit, Logit, Pade11, Pade22,
-    Pade32, SgnBias, SplineFlow, UnityDistConvertor, PhaseDistConvertor,
-    DistConvertor,
+    Pade32, SgnBias, SplineFlow, SplineNet, UnityDistConvertor,
+    PhaseDistConvertor, DistConvertor,
 )
 from .nets import ConvNet, LinearNet, CircularConv, Dense, ACTIVATIONS
 from .couplings import (
@@ -25,9 +26,11 @@ from .couplings import (
     CntrShiftCoupling, CntrAffineCoupling, CntrRQSplineCoupling,
     CntrMultiRQSplineCoupling,
 )
-from .spectral import FFTFlow, IPSD, MeanFieldFlow, PSDBlock, FreeScalar
+from .spectral import (FFTFlow, IPSD, IPSDNoZeroMode, MeanFieldFlow,
+                       PSDBlock, FreeScalar)
 from .priors import NormalPrior, UniformPrior, PriorList
-from .actions import ScalarPhi4Action, GaugeAction, U1GaugeAction, MatrixAction
+from .actions import (ScalarPhi4Action, GaugeAction, U1GaugeAction,
+                      MatrixAction, SchwingerAction)
 from .masks import (
     EvenOddMask, AlongAxesEvenOddMask, DummyMask, DoubleMask,
     GaugeLinksDoubleMask, ZebraPlanarMask, MatrixMask, ListPartitioner,

@@ -129,6 +129,69 @@ class FlowList(Flow):
     def npar(self) -> int:
         return tree_size(self)
 
+    def transfer(self, **kwargs):
+        """Transfer-learning hook: map each child (reference nn/_core.py:105-106)."""
+        return self.replace(flows=tuple(f.transfer(**kwargs) for f in self.flows))
+
+    def freeze_parameters(self) -> "FlowList":
+        """Return a copy whose sub-flows are all frozen (non-trainable).
+
+        Functional replacement for ``requires_grad=False``
+        (reference nn/_core.py:120-126): children are wrapped in
+        :class:`Frozen`, which stops gradients and is masked out of
+        optimizer updates and weight decay by the Fitter.
+        """
+        return self.replace(flows=tuple(freeze(f) for f in self.flows))
+
+    def unfreeze_parameters(self) -> "FlowList":
+        return self.replace(flows=tuple(unfreeze(f) for f in self.flows))
+
+
+class Frozen(Flow):
+    """Marks an inner flow as non-trainable.
+
+    Gradients through the inner parameters are stopped, and the Fitter
+    excludes the subtree from optimizer updates (incl. weight decay) via
+    :func:`trainable_mask`.
+    """
+
+    flow: Any
+
+    def _stopped(self):
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, self.flow)
+
+    def forward(self, x, log0=0.0, **kwargs):
+        return self._stopped().forward(x, log0, **kwargs)
+
+    def backward(self, x, log0=0.0, **kwargs):
+        return self._stopped().backward(x, log0, **kwargs)
+
+
+def freeze(flow):
+    return flow if isinstance(flow, Frozen) else Frozen(flow=flow)
+
+
+def unfreeze(flow):
+    return flow.flow if isinstance(flow, Frozen) else flow
+
+
+def trainable_mask(net):
+    """Bool pytree matching ``net``: False under every :class:`Frozen` node.
+
+    Feed to ``optax.masked`` so frozen parameters receive no updates and no
+    weight decay.
+    """
+
+    def is_frozen(x):
+        return isinstance(x, Frozen)
+
+    def expand(x):
+        if is_frozen(x):
+            return jax.tree_util.tree_map(lambda _: False, x)
+        return jax.tree_util.tree_map(lambda _: True, x)
+
+    return jax.tree_util.tree_map(expand, net, is_leaf=is_frozen)
+
 
 class MultiChannelFlow(Flow):
     """Applies the k-th subflow to the k-th channel slice.

@@ -419,6 +419,25 @@ class SplineFlow(Flow):
         return y, log0 + sum_density(jnp.log(g), density)
 
 
+class SplineNet(SplineFlow):
+    """Raw trainable-knot spline net (no log-Jacobian handling).
+
+    Mirrors the reference's plain ``SplineNet`` (modules.py:276-391):
+    ``__call__`` applies the spline as a function; ``backward`` applies the
+    inverse.  Used e.g. by the IPSD net.
+    """
+
+    def __call__(self, x):
+        kx, ky, kd = self.make_knots()
+        y, _ = self._spline_fn()(x, kx, ky, kd)
+        return y
+
+    def invert(self, y):
+        kx, ky, kd = self.make_knots()
+        x, _ = self._spline_fn()(y, kx, ky, kd, inverse=True)
+        return x
+
+
 class UnityDistConvertor(SplineFlow):
     """PDF convertor for variables in [0, 1] (reference modules_.py:305-315)."""
 

@@ -134,11 +134,17 @@ class ConvNet(Pytree):
     layers: tuple
     acts: tuple = static(default=(None,))
     pre_act: str | None = static(default=None)
+    compute_dtype: str | None = static(default=None)
 
     @classmethod
     def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
               hidden_sizes=(), acts=(None,), pre_act=None, bias=True,
-              dtype=None):
+              dtype=None, compute_dtype=None):
+        """``compute_dtype='bfloat16'`` runs the conv stack on the MXU in
+        bf16 (params stay in ``dtype``); the output is cast back.  The conv
+        net only *parameterizes* the transform -- the flow's log-Jacobian is
+        computed exactly from its (cast-back) outputs, so invertibility and
+        logq consistency are unaffected."""
         sizes = [in_channels, *hidden_sizes, out_channels]
         acts = tuple(acts)
         assert len(acts) == len(hidden_sizes) + 1
@@ -148,16 +154,23 @@ class ConvNet(Pytree):
                                conv_dim=conv_dim, bias=bias, dtype=dtype)
             for i, k in enumerate(keys)
         )
-        return cls(layers=layers, acts=acts, pre_act=pre_act)
+        return cls(layers=layers, acts=acts, pre_act=pre_act,
+                   compute_dtype=compute_dtype)
 
     def __call__(self, x):
-        if self.pre_act is not None:
-            x = ACTIVATIONS[self.pre_act](x)
-        for layer, act in zip(self.layers, self.acts):
+        out_dtype = x.dtype
+        net = self
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            x = x.astype(cd)
+            net = jax.tree_util.tree_map(lambda p: p.astype(cd), self)
+        if net.pre_act is not None:
+            x = ACTIVATIONS[net.pre_act](x)
+        for layer, act in zip(net.layers, net.acts):
             x = layer(x)
             if act is not None:
                 x = ACTIVATIONS[act](x)
-        return x
+        return x.astype(out_dtype)
 
     def zeroed(self) -> "ConvNet":
         """All-zero parameters (reference ``set_param2zero``, modules.py:156-159),

@@ -69,6 +69,36 @@ class IPSD(Pytree):
         return jnp.exp(0.5 * self.logy[0])
 
 
+class IPSDNoZeroMode(Pytree):
+    """Obsolete IPSD variant without an additive mass term: ``y0 * spline``
+    with the zero-mode weight pinned to 1 (reference fftflow_.py:266-314,
+    which itself recommends ``IPSD(ignore_zeromode=True)`` instead)."""
+
+    spline: SplineFlow
+    logy: jax.Array
+
+    @classmethod
+    def build(cls, knots_len, *, logy, smooth=False, dtype=None, **kwargs):
+        spline = SplineFlow.build(knots_len, smooth=smooth, dtype=dtype,
+                                  **kwargs)
+        return cls(spline=spline, logy=jnp.asarray(logy, dtype))
+
+    def __call__(self, x):
+        y = jnp.exp(self.logy)
+        s, _ = self.spline.forward(x, density=True)
+        sigma_k2 = y[0] * s
+        return sigma_k2.at[(0,) * x.ndim].set(1.0)
+
+    @staticmethod
+    def apply_scale(logy, *, a, ndim):
+        return jnp.asarray([logy[0] + np.log(a) * (ndim - 2)])
+
+    def infrared_mass(self, max_lat_k2):
+        z = self(jnp.asarray([1e-6 / max_lat_k2, 2e-6 / max_lat_k2]))
+        factor = (z[1] - z[0]) / 1e-6
+        return jnp.sqrt(z[0] / factor)
+
+
 class FreeScalar:
     """Free-theory momentum grid helper (reference fftflow_.py:318-333)."""
 

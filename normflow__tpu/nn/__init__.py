@@ -7,7 +7,7 @@ are provided so reference users can port scripts mechanically.
 
 from ..models.core import (
     Flow, FlowList, MultiChannelFlow, MultiOutChannelFlow,
-    InvisibilityMaskWrapper,
+    InvisibilityMaskWrapper, Frozen, freeze, unfreeze,
 )
 from ..models.elementwise import (
     Identity, Clone, Scale, Tanh, ArcTanh, Expit, Logit, Pade11, Pade22,
@@ -15,6 +15,8 @@ from ..models.elementwise import (
     DistConvertor,
 )
 from ..models.nets import ConvNet, LinearNet, CircularConv, Dense, ACTIVATIONS
+from ..models.elementwise import SplineNet
+from ..models.spectral import IPSD, IPSDNoZeroMode, FreeScalar
 from ..models.couplings import (
     Coupling, ShiftCoupling, AffineCoupling, RQSplineCoupling,
     MultiRQSplineCoupling, DirectCntrCoupling, CntrCoupling,
@@ -59,3 +61,5 @@ CntrMultiRQSplineCoupling_ = CntrMultiRQSplineCoupling
 FFTNet_ = FFTFlow
 MeanFieldNet_ = MeanFieldFlow
 PSDBlock_ = PSDBlock
+ConvNd = CircularConv
+Conv4d = CircularConv

@@ -38,10 +38,20 @@ def init_distributed(**kwargs):
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data",
-              devices: Sequence | None = None) -> Mesh:
-    """A 1-D device mesh over (the first ``n_devices``) devices."""
+              devices: Sequence | None = None,
+              axes: dict | None = None) -> Mesh:
+    """A device mesh over (the first ``n_devices``) devices.
+
+    ``axes`` builds a multi-axis mesh, e.g. ``{'data': 4, 'space': 2}`` for
+    combined batch + lattice sharding.  Default: 1-D ``('data',)``.
+    """
     if devices is None:
         devices = jax.devices()
+    if axes:
+        names = tuple(axes)
+        sizes = tuple(axes.values())
+        total = int(np.prod(sizes))
+        return Mesh(np.asarray(devices[:total]).reshape(sizes), names)
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
@@ -65,6 +75,7 @@ class ModelDeviceHandler:
         self._model = model
         self.mesh: Mesh | None = None
         self.data_axis = "data"
+        self.space_axis: str | None = None
 
     # -- topology ------------------------------------------------------ #
     @property
@@ -81,10 +92,21 @@ class ModelDeviceHandler:
 
     # -- setup --------------------------------------------------------- #
     def use_mesh(self, mesh: Mesh | None = None, n_devices: int | None = None,
-                 axis: str = "data"):
-        """Attach a device mesh; subsequent ``fit`` calls shard the batch."""
-        self.mesh = mesh if mesh is not None else make_mesh(n_devices, axis)
-        self.data_axis = axis
+                 axis: str = "data", axes: dict | None = None):
+        """Attach a device mesh; subsequent ``fit`` calls shard the batch.
+
+        ``axes={'data': n, 'space': m}`` additionally shards the FIRST
+        lattice dimension over the ``space`` axis -- convolution/stencil
+        halos and the gradient reductions are inserted by XLA's SPMD
+        partitioner (the lattice-QCD analogue of context parallelism;
+        the reference has no counterpart, SURVEY §5).
+        """
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices, axis,
+                                                            axes=axes)
+        self.data_axis = axis if not axes else tuple(axes)[0]
+        self.space_axis = ("space" if (axes and "space" in axes)
+                          or (mesh is not None and "space" in mesh.axis_names)
+                          else None)
         return self.mesh
 
     def distribute(self):
@@ -100,10 +122,15 @@ class ModelDeviceHandler:
         """
         if self.mesh is None:
             return lambda x: x
-        sharding = NamedSharding(self.mesh, P(self.data_axis))
+        mesh, data, space = self.mesh, self.data_axis, self.space_axis
 
         def constrain(x):
-            return jax.lax.with_sharding_constraint(x, sharding)
+            if space is not None and x.ndim >= 2:
+                spec = P(data, space, *([None] * (x.ndim - 2)))
+            else:
+                spec = P(data)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
 
         return constrain
 

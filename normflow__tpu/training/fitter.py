@@ -81,6 +81,12 @@ class Fitter:
 
         self.optimizer = self._build_optimizer(
             optimizer_class, scheduler, param_groups)
+        # mask out Frozen sub-flows (no updates, no weight decay)
+        from ..models.core import trainable_mask
+
+        mask = trainable_mask(self._model.net_)
+        if not all(jax.tree_util.tree_leaves(mask)):
+            self.optimizer = optax.masked(self.optimizer, mask)
         self.opt_state = self.optimizer.init(self._model.net_)
 
         snapshot_path = self.checkpoint_dict["snapshot_path"]
@@ -168,14 +174,14 @@ class Fitter:
                 lambda a, b: jnp.where(ok, b, a), old, new)
             return sel(net, new_net), sel(opt_state, new_opt), loss, logq - logp
 
-        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+        @partial(jax.jit, static_argnums=(3,))
         def step(net, opt_state, key, batch_size):
             return step_core(net, opt_state, key, batch_size)
 
         # Multi-epoch segment in ONE device program (lax.scan over steps):
         # removes per-epoch Python/dispatch overhead from the hot loop -- the
         # TPU-native replacement for the reference's Python epoch loop.
-        @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0, 1))
+        @partial(jax.jit, static_argnums=(3, 4))
         def multi_step(net, opt_state, key, batch_size, n_steps):
             def body(carry, k):
                 net, opt_state = carry

@@ -97,6 +97,19 @@ class Posterior:
         m = self._model
         return _log_prob_fn(m.net_, m.prior, y)
 
+    def logqp_stream(self, n_batches: int, batch_size: int, key=None):
+        """Draw ``n_batches`` batches inside ONE device program (lax.scan)
+        and return the flattened ``logq - logp`` stream.
+
+        The scanned form amortizes dispatch overhead -- use it for ESS /
+        acceptance measurement and throughput benchmarking.
+        """
+        m = self._model
+        key = m.next_key() if key is None else key
+        logqp = _logqp_scan(m.net_, m.prior, m.action, key, n_batches,
+                            batch_size)
+        return logqp.reshape(-1)
+
 
 @partial(jax.jit, static_argnums=(3,))
 def _sample_fn(net, prior, key, batch_size):
@@ -116,6 +129,18 @@ def _log_prob_fn(net, prior, y):
     x, minus_logj = net.backward(y)
     logr = prior.log_prob(x)
     return logr + minus_logj
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _logqp_scan(net, prior, action, key, n_batches, batch_size):
+    def body(_, k):
+        x, logr = prior.sample_(k, batch_size)
+        y, logj = net.forward(x)
+        return None, (logr - logj) + action(y)
+
+    keys = jax.random.split(key, n_batches)
+    _, logqp = jax.lax.scan(body, None, keys)
+    return logqp
 
 
 def backward_sanitychecker(model: Model, n_samples: int = 5, net_=None,

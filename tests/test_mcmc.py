@@ -140,3 +140,40 @@ def test_blocked_mcmc_multiblock(key):
 def test_estimate_accept_rate_range(rng):
     mean, std = estimate_accept_rate(rng.standard_normal(512))
     assert 0 < mean < 1 and std >= 0
+
+
+def test_sample_chain_scanned():
+    model = _zerodim_model()
+    out = model.mcmc.sample_chain(5, 64, collect_samples=True)
+    assert out["samples"].shape == (5, 64, 1)
+    assert out["accept_rate"].shape == (5,)
+    assert model.mcmc._ref is not None
+    # continuing the chain consumes the carried reference
+    out2 = model.mcmc.sample_chain(2, 64)
+    assert out2["logq"].shape == (2, 64)
+    assert len(model.mcmc.history.accept_rate) == 7
+
+
+@pytest.mark.slow
+def test_mcmc_exactness_2d_free_theory():
+    """2-D exactness oracle: free theory (lambda=0).  An FFTFlow can
+    represent the exact Gaussian, so after a short fit the Metropolis
+    chain must reproduce <phi^2> = (1/V) sum_k 1/(m^2 + kappa k_hat^2)."""
+    from normflow__tpu.models import FFTFlow, FlowList
+    from normflow__tpu.ops.lattice import lattice_k2
+
+    lat, m2, kap = (8, 8), 1.0, 1.0
+    net = FlowList(flows=(FFTFlow.build(lat, knots_len=6, eff_mass2=2.0,
+                                        eff_kappa=0.5),))
+    prior = nf.prior.NormalPrior.build(shape=lat)
+    action = nf.action.ScalarPhi4Action(kappa=kap, m_sq=m2, lambd=0.0)
+    model = nf.Model(net_=net, prior=prior, action=action, seed=1)
+    model.fit(n_epochs=400, batch_size=256,
+              hyperparam=dict(lr=5e-3, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=None), steps_per_call=400)
+    out = model.mcmc.sample_chain(16, 1024, collect_samples=True)
+    phi2 = (np.asarray(out["samples"]) ** 2).mean(axis=(2, 3)).ravel()
+    exact = float(np.mean(1.0 / (m2 + kap * np.asarray(lattice_k2(lat)))))
+    err = phi2.std() / np.sqrt(len(phi2) / 10)
+    assert abs(phi2.mean() - exact) < 5 * err + 0.005, (phi2.mean(), exact)
+    assert float(np.mean(np.asarray(out["accept_rate"]))) > 0.8

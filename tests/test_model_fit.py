@@ -149,3 +149,45 @@ def test_backward_sanitychecker_api():
     (x, y, x_hat), (logj, log0_hat) = nf.backward_sanitychecker(
         model, n_samples=3, return_details=True, verbose=False)
     assert x.shape == x_hat.shape == (3, 1)
+
+
+def test_logqp_stream_matches_distribution():
+    model = _zerodim_model()
+    lq = model.posterior.logqp_stream(4, 128)
+    assert lq.shape == (512,)
+    assert np.isfinite(np.asarray(lq)).all()
+
+
+def test_freeze_unfreeze():
+    from normflow__tpu.models import freeze, trainable_mask
+
+    model = _zerodim_model()
+    net = model.net_
+    frozen = net.replace(flows=(net.flows[0], freeze(net.flows[1]),
+                                net.flows[2]))
+    mask = jax.tree_util.tree_leaves(trainable_mask(frozen))
+    assert not any(mask)  # all params live in the (frozen) spline layer
+    model.net_ = frozen
+    before = [np.asarray(l).copy() for l in jax.tree_util.tree_leaves(frozen)]
+    model.fit(n_epochs=20, batch_size=64,
+              hyperparam=dict(lr=0.05, weight_decay=0.01),
+              checkpoint_dict=dict(print_stride=None))
+    after = jax.tree_util.tree_leaves(model.net_)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+    # unfreeze restores trainability
+    unfrozen = frozen.unfreeze_parameters()
+    assert all(jax.tree_util.tree_leaves(trainable_mask(unfrozen)))
+    # frozen forward == unfrozen forward
+    x = model.prior.sample(jax.random.key(0), 4)
+    ya, la = frozen.forward(x)
+    yb, lb = unfrozen.forward(x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb))
+
+
+def test_steps_per_call_equivalent_history_length():
+    m1 = _zerodim_model()
+    h1 = m1.fit(n_epochs=37, batch_size=32,
+                hyperparam=dict(lr=0.01, weight_decay=0.0),
+                checkpoint_dict=dict(print_stride=None), steps_per_call=10)
+    assert len(h1["loss"]) == 37

@@ -91,3 +91,16 @@ def test_fold_key_deterministic():
     k = jax.random.key(0)
     a, b = fold_key(k), fold_key(k)
     assert jnp.all(jax.random.key_data(a) == jax.random.key_data(b))
+
+
+def test_space_sharded_training_matches_single_device():
+    """dp x sp mesh (batch + lattice sharding with XLA-inserted halo
+    exchange) must match the unsharded loss trajectory."""
+    m1 = _model(seed=7)
+    h1 = m1.fit(n_epochs=6, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    m2 = _model(seed=7)
+    m2.device_handler.use_mesh(axes={"data": 4, "space": 2})
+    h2 = m2.fit(n_epochs=6, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
