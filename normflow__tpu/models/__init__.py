@@ -6,6 +6,7 @@ from . import priors
 from . import actions
 from . import masks
 from . import nets
+from . import gauge
 from . import couplings
 from . import spectral
 
@@ -31,6 +32,8 @@ from .spectral import (FFTFlow, IPSD, IPSDNoZeroMode, MeanFieldFlow,
 from .priors import NormalPrior, UniformPrior, PriorList
 from .actions import (ScalarPhi4Action, GaugeAction, U1GaugeAction,
                       MatrixAction, SchwingerAction)
+from .gauge import (U1PlaquetteCoupling, U1AngleAction,
+                    build_u1_gauge_flow, u1_plaq_angle)
 from .masks import (
     EvenOddMask, AlongAxesEvenOddMask, DummyMask, DoubleMask,
     GaugeLinksDoubleMask, ZebraPlanarMask, MatrixMask, ListPartitioner,

@@ -24,6 +24,8 @@ from ..models.couplings import (
     CntrMultiRQSplineCoupling,
 )
 from ..models.spectral import FFTFlow, IPSD, MeanFieldFlow, PSDBlock
+from ..models.gauge import (U1PlaquetteCoupling, U1AngleAction,
+                            build_u1_gauge_flow)
 
 # Reference-parity aliases (trailing underscore convention)
 Module_ = Flow
