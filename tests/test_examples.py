@@ -1,0 +1,32 @@
+"""Smoke-drive the example scripts (tiny sizes) through their main()."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_scalar_zerodim_example():
+    from scalar_zerodim import main
+
+    model = main(n_epochs=50, batch_size=64, knots_len=6)
+    assert model.fit.train_history["loss"][-1] < 0
+
+
+def test_scalar_affine_example():
+    from scalar_affine import main
+
+    model = main(n_epochs=10, batch_size=32, lat_shape=(4, 4),
+                 knots0_len=4, knots1_len=4, knots2_len=6, knots4_len=6,
+                 hidden_sizes=(4,), n_layers=2)
+    assert len(model.fit.train_history["loss"]) == 10
+
+
+def test_u1_gauge_example():
+    from u1_gauge import main
+
+    model = main(beta=1.0, lat_shape=(4, 4), n_epochs=10, batch_size=16,
+                 n_cycles=1, knots_len=4, steps_per_call=10)
+    assert len(model.fit.train_history["loss"]) == 10
