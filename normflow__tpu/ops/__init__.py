@@ -8,6 +8,7 @@ from other subpackages of ``normflow__tpu``.
 from . import spline
 from . import lattice
 from . import stats
+from . import observables
 
 from .spline import rqs, rls, augment_knots
 from .stats import Resampler, estimate_logz, fmt_val_err, calc_ess
@@ -17,7 +18,7 @@ from .lattice import (
 )
 
 __all__ = [
-    "spline", "lattice", "stats",
+    "spline", "lattice", "stats", "observables",
     "rqs", "rls", "augment_knots",
     "Resampler", "estimate_logz", "fmt_val_err", "calc_ess",
     "lattice_k2", "rfft_lattice_k2", "neighbor_mean", "outer", "outer_sum",

