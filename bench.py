@@ -22,15 +22,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Reference (torch CPU, jkomijani/normflow_) effective samples/s for the same
-# 32x32 model class on this host; measured with scripts/bench_reference.py.
-# None -> report vs_baseline of 1.0 relative to self until measured.
-REFERENCE_EFF_SAMPLES_PER_SEC = None
+# Reference (torch CPU, jkomijani/normflow_) effective samples/s for the
+# IDENTICAL 32x32 architecture on this host, measured 2026-08-17 with
+# scripts/bench_reference.py --train_epochs 400: raw 220.6 samples/s,
+# ESS 0.0132 -> 2.915 eff/s (training took 3767 s; our protocol trains
+# 6000 epochs in ~300 s on the chip, so the reference actually received
+# ~12x MORE training wall-clock than we use here).
+REFERENCE_EFF_SAMPLES_PER_SEC = 2.915
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--train_epochs", type=int, default=3000)
+    p.add_argument("--train_epochs", type=int, default=6000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--sample_iters", type=int, default=20)

@@ -1,0 +1,92 @@
+"""Transfer learning and controlled-coupling tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflow__tpu as nf
+from normflow__tpu.models import (
+    AffineCoupling, CntrAffineCoupling, ConvNet, DirectCntrCoupling,
+    EvenOddMask, FFTFlow, FlowList,
+)
+
+
+def _nets(key, out_channels=2, n=2, lat=(6, 6)):
+    return tuple(
+        ConvNet.build(k, 1, out_channels, kernel_size=3, conv_dim=len(lat),
+                      hidden_sizes=(4,), acts=("tanh", None))
+        for k in jax.random.split(key, n))
+
+
+def test_fftflow_transfer_rescales(rng):
+    # transfer to half the lattice spacing (scale_factor=2): the infrared
+    # mass in lattice units halves (m * a), reference fftflow_.py:187-209.
+    flow = FFTFlow.build((8, 8), knots_len=4, eff_mass2=1.0)
+    m_before = float(flow.infrared_mass)
+    flow2 = flow.transfer(scale_factor=2, shape=(16, 16))
+    assert flow2.lat_shape == (16, 16)
+    m_after = float(flow2.infrared_mass)
+    np.testing.assert_allclose(m_after, m_before / 2, rtol=1e-6)
+    # still a valid bijection on the new lattice
+    x = jnp.asarray(rng.standard_normal((3, 16, 16)))
+    y, logj = flow2.forward(x)
+    x2, logj0 = flow2.backward(y, log0=logj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-8)
+
+
+def test_coupling_transfer_new_mask(rng, key):
+    mask6 = EvenOddMask(shape=(6, 6))
+    mask8 = EvenOddMask(shape=(8, 8))
+    c = AffineCoupling(nets=_nets(key), mask=mask6)
+    c2 = c.transfer(mask=mask8)
+    # conv nets are resolution independent: same weights on a larger lattice
+    x = jnp.asarray(rng.standard_normal((2, 8, 8)))
+    y, logj = c2.forward(x)
+    x2, logj0 = c2.backward(y, log0=logj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+
+
+def test_flowlist_transfer(rng, key):
+    net = FlowList(flows=(
+        nf.models.DistConvertor.build(6, symmetric=True),
+        AffineCoupling(nets=_nets(key), mask=EvenOddMask(shape=(6, 6))),
+    ))
+    net2 = net.transfer(mask=EvenOddMask(shape=(12, 12)))
+    x = jnp.asarray(rng.standard_normal((2, 12, 12)))
+    y, logj = net2.forward(x)
+    assert y.shape == x.shape
+
+
+def test_direct_cntr_coupling_roundtrip(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+    c = DirectCntrCoupling(
+        coupling=AffineCoupling(nets=_nets(key), mask=mask))
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    control = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    (y, ctrl_out), logj = c.forward((x, control))
+    np.testing.assert_array_equal(np.asarray(ctrl_out), np.asarray(control))
+    (x2, _), logj0 = c.backward((y, control), log0=logj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(logj0), 0.0, atol=1e-9)
+    # the control actually conditions the first layer
+    (y_other, _), _ = c.forward((x, control * 2))
+    assert not np.allclose(np.asarray(y_other), np.asarray(y))
+
+
+def test_cntr_coupling_with_generator(rng, key):
+    mask = EvenOddMask(shape=(6, 6))
+
+    def gen(k, batch_size):
+        return jax.random.normal(k, (batch_size, 6, 6))
+
+    c = CntrAffineCoupling(_nets(key), mask=mask, control_generator=gen)
+    c = c.refresh_control(jax.random.key(1), 4)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6)))
+    y, logj = c.forward(x)
+    x2, logj0 = c.backward(y, log0=logj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+    # refreshing the control changes the transform
+    c2 = c.refresh_control(jax.random.key(2), 4)
+    y2, _ = c2.forward(x)
+    assert not np.allclose(np.asarray(y2), np.asarray(y))
