@@ -33,7 +33,7 @@ REFERENCE_EFF_SAMPLES_PER_SEC = 2.915
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--train_epochs", type=int, default=6000)
+    p.add_argument("--train_epochs", type=int, default=12000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--sample_iters", type=int, default=20)

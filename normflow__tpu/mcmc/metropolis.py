@@ -213,13 +213,18 @@ class MCMCSampler:
         """
         m = self._model
         key = m.next_key() if key is None else key
-        dt = jnp.result_type(float)
         if self._ref is None:
             # inf reference logqp => first proposal always accepted, so the
-            # zero dummy reference sample is never selected.
-            carry0 = (jnp.zeros(m.prior.shape, dt), jnp.asarray(jnp.inf, dt),
-                      jnp.asarray(0.0, dt))
+            # zero dummy reference sample is never selected.  Shape/dtype of
+            # the dummy must match the flow output exactly (scan carry).
+            probe = m.prior.sample(jax.random.key(0), 1)
+            dummy = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a[0]),
+                                           probe)
+            dt = jax.tree_util.tree_leaves(probe)[0].dtype
+            carry0 = (dummy, jnp.asarray(jnp.inf, dt), jnp.asarray(0.0, dt))
         else:
+            dt = jnp.asarray(
+                jax.tree_util.tree_leaves(self._ref["sample"])[0]).dtype
             carry0 = (self._ref["sample"], jnp.asarray(self._ref["logq"], dt),
                       jnp.asarray(self._ref["logp"], dt))
         carry, (ys, logq, logp, accept_rate) = _chain_scan(
@@ -360,38 +365,47 @@ def _blocked_sweep_kernel(net, prior, action, key, x, logqp_ref, has_ref,
     x_flat = x.reshape(-1)
     chopped = prior.chopped(block_len)
 
-    def block_step(carry, inp):
-        x_flat, ref, has_ref = carry
-        b, proposal, lrand = inp
-        x_new = jax.lax.dynamic_update_slice(x_flat, proposal, (b * block_len,))
-        xs = x_new.reshape(1, *shape)
-        y, logj = net.forward(xs)
-        logq = prior.log_prob(xs) - logj
-        logp = -action(y)
-        logqp = (logq - logp)[0]
-        accept = jnp.where(has_ref, lrand < (ref - logqp), True)
-        x_flat = jnp.where(accept, x_new, x_flat)
-        ref = jnp.where(accept, logqp, ref)
-        return (x_flat, ref, jnp.logical_or(has_ref, accept)), accept
-
-    def sample_step(carry, key):
-        x_flat, ref, has_ref = carry
-        kp, kr = jax.random.split(key)
-        proposals = chopped.sample(kp, n_blocks)  # (n_blocks, block_len)
-        lrand = jnp.log(jax.random.uniform(kr, (n_blocks,), x_flat.dtype))
-        blocks = jnp.arange(n_blocks)
-        (x_flat, ref, has_ref), accepts = jax.lax.scan(
-            block_step, (x_flat, ref, has_ref), (blocks, proposals, lrand))
+    def evaluate(x_flat):
         xs = x_flat.reshape(1, *shape)
         y, logj = net.forward(xs)
         logq = prior.log_prob(xs) - logj
         logp = -action(y)
-        return (x_flat, ref, has_ref), (y[0], logq[0], logp[0], accepts)
+        return y[0], logq[0], logp[0]
+
+    def block_step(carry, inp):
+        x_flat, ref, has_ref, y_acc, logq_acc, logp_acc = carry
+        b, proposal, lrand = inp
+        x_new = jax.lax.dynamic_update_slice(x_flat, proposal, (b * block_len,))
+        y, logq, logp = evaluate(x_new)
+        logqp = logq - logp
+        accept = jnp.where(has_ref, lrand < (ref - logqp), True)
+        sel = lambda new, old: jnp.where(accept, new, old)
+        carry = (sel(x_new, x_flat), sel(logqp, ref),
+                 jnp.logical_or(has_ref, accept),
+                 sel(y, y_acc), sel(logq, logq_acc), sel(logp, logp_acc))
+        return carry, accept
+
+    def sample_step(carry, key):
+        x_flat, ref, has_ref, y_acc, logq_acc, logp_acc = carry
+        kp, kr = jax.random.split(key)
+        proposals = chopped.sample(kp, n_blocks)  # (n_blocks, block_len)
+        lrand = jnp.log(jax.random.uniform(kr, (n_blocks,), x_flat.dtype))
+        blocks = jnp.arange(n_blocks)
+        carry, accepts = jax.lax.scan(
+            block_step,
+            (x_flat, ref, has_ref, y_acc, logq_acc, logp_acc),
+            (blocks, proposals, lrand))
+        # the carried (y, logq, logp) are those of the accepted state -- no
+        # extra flow forward is needed to emit the sample
+        _, _, _, y_acc, logq_acc, logp_acc = carry
+        return carry, (y_acc, logq_acc, logp_acc, accepts)
 
     keys = jax.random.split(key, batch_size)
     has_ref_arr = jnp.asarray(has_ref)
-    (_, _, _), (cfgs, logq, logp, accept_seq) = jax.lax.scan(
-        sample_step, (x_flat, logqp_ref, has_ref_arr), keys)
+    y0, logq0, logp0 = evaluate(x_flat)
+    carry0 = (x_flat, logqp_ref, has_ref_arr, y0, logq0, logp0)
+    _, (cfgs, logq, logp, accept_seq) = jax.lax.scan(
+        sample_step, carry0, keys)
     return cfgs, logq, logp, accept_seq
 
 

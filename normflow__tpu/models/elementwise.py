@@ -367,6 +367,14 @@ class SplineFlow(Flow):
         wrap = lambda a: None if a is None else HashableArray(np.asarray(a))
         extrap_t = tuple(sorted(extrap.items())) if isinstance(extrap, dict) \
             else tuple(extrap or ())
+        if "periodic" in dict(extrap_t).values() and knots_d is None:
+            # softplus-parameterized derivatives are strictly positive, so
+            # the zero-boundary-derivative requirement of 'periodic'
+            # augmentation (reference spline.py:504-505) can never hold.
+            raise ValueError(
+                "extrap='periodic' requires fixed knots_d with zero "
+                "boundary derivatives (trainable derivatives are strictly "
+                "positive)")
         return cls(
             weights_x=wx, weights_y=wy, weights_d=wd, knots_len=knots_len,
             xlim=tuple(xlim), ylim=tuple(ylim), extrap=extrap_t,

@@ -135,8 +135,15 @@ class DoubleMask:
         return self.outer_mask.split(x)
 
     def cat(self, x0, x1):
+        stash = getattr(self, "_x_invisible", None)
+        if stash is None:
+            raise RuntimeError(
+                "DoubleMask.cat called without a matching split in the same "
+                "trace -- split/cat must be paired within one traced "
+                "function (as couplings do)")
+        object.__setattr__(self, "_x_invisible", None)  # consume the stash
         x = self.outer_mask.cat(x0, x1)
-        return self.invisibility_mask.cat(x, self._x_invisible)
+        return self.invisibility_mask.cat(x, stash)
 
     def purify(self, x_chnl, channel, **kwargs):
         return self.invisibility_mask.purify(

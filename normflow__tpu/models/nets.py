@@ -47,13 +47,15 @@ ACTIVATIONS: dict[str, Callable] = {
 
 
 def _torch_conv_init(key, kernel_shape, in_ch, out_ch, dtype, bias: bool):
-    """Kaiming-uniform(a=sqrt(5)) + uniform bias, matching torch Conv defaults
-    so training dynamics track the reference."""
+    """Kaiming-uniform(a=sqrt(5)) + uniform bias, matching torch Conv
+    defaults so training dynamics track the reference: torch's bound is
+    gain*sqrt(3/fan_in) with gain=sqrt(1/3), i.e. U(-1/sqrt(fan_in),
+    +1/sqrt(fan_in)) for both weight and bias."""
     fan_in = in_ch * int(np.prod(kernel_shape))
     bound = 1.0 / np.sqrt(fan_in)
     k_w, k_b = jax.random.split(key)
     w = jax.random.uniform(k_w, (*kernel_shape, in_ch, out_ch), dtype,
-                           -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+                           -bound, bound)
     b = (jax.random.uniform(k_b, (out_ch,), dtype, -bound, bound)
          if bias else None)
     return w, b
@@ -190,10 +192,10 @@ class Dense(Pytree):
     @classmethod
     def build(cls, key, in_features, out_features, bias=True, dtype=None):
         dtype = dtype or jnp.result_type(float)
-        bound = 1.0 / np.sqrt(in_features)
+        bound = 1.0 / np.sqrt(in_features)  # torch Linear default
         k_w, k_b = jax.random.split(key)
         w = jax.random.uniform(k_w, (in_features, out_features), dtype,
-                               -np.sqrt(3.0) * bound, np.sqrt(3.0) * bound)
+                               -bound, bound)
         b = (jax.random.uniform(k_b, (out_features,), dtype, -bound, bound)
              if bias else None)
         return cls(weight=w, bias=b)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "rqs", "rls", "augment_knots", "smooth_derivatives_rq",
@@ -230,6 +231,15 @@ def augment_knots(kx, ky, kd, *, left=None, right=None):
         periodic = mode == "periodic"
         if not (anti or periodic):
             return None
+        if periodic:
+            # even mirror requires a zero boundary derivative (reference
+            # spline.py:504-505 raises); validate when concrete.
+            edge = kd[..., :1] if is_left else kd[..., -1:]
+            if not isinstance(edge, jax.core.Tracer):
+                if not np.allclose(np.asarray(edge), 0.0):
+                    raise ValueError(
+                        "periodic knot augmentation requires a zero "
+                        "derivative at the boundary knot")
         if is_left:
             xs, ys, ds = _flip(kx[..., 1:]), _flip(ky[..., 1:]), _flip(kd[..., 1:])
             x_edge, y_edge = kx[..., :1], ky[..., :1]

@@ -85,21 +85,16 @@ def calc_ess(logq, logp=0.0):
     ``ESS = (sum w)^2 / (N sum w^2)`` with ``w = p/q``
     (reference _normflowcore.py:374-379).
     """
+    from jax.scipy.special import logsumexp
+
     logqp = jnp.asarray(logq) - logp
-    log_ess = 2 * jax_logsumexp(-logqp) - jax_logsumexp(-2 * logqp)
+    log_ess = 2 * logsumexp(-logqp) - logsumexp(-2 * logqp)
     return jnp.exp(log_ess) / logqp.shape[0]
-
-
-def jax_logsumexp(x):
-    m = jnp.max(x)
-    return m + jnp.log(jnp.sum(jnp.exp(x - m)))
 
 
 def fmt_val_err(value, error, err_digits: int = 1) -> str:
     """Format as ``value(err)``, e.g. ``0.914(9)`` (reference combo.py:26-34)."""
-    try:
-        digits = -int(np.floor(np.log10(error))) + err_digits - 1
-        digits = max(digits, 0)
-        return "{0:.{2}f}({1:.0f})".format(value, error * 10**digits, digits)
-    except (ValueError, OverflowError, ZeroDivisionError):
+    if not np.isfinite(error) or error <= 0 or not np.isfinite(value):
         return f"{value}+-{error}"
+    digits = max(-int(np.floor(np.log10(error))) + err_digits - 1, 0)
+    return "{0:.{2}f}({1:.0f})".format(value, error * 10**digits, digits)

@@ -57,7 +57,7 @@ def make_mesh(n_devices: int | None = None, axis: str = "data",
     return Mesh(np.asarray(devices), (axis,))
 
 
-def fold_key(key, axis: str | None = None):
+def fold_key(key):
     """Deterministic per-process key folding (replaces per-rank seed lists)."""
     return jax.random.fold_in(key, jax.process_index())
 

@@ -81,10 +81,14 @@ class Fitter:
 
         self.optimizer = self._build_optimizer(
             optimizer_class, scheduler, param_groups)
-        # mask out Frozen sub-flows (no updates, no weight decay)
-        from ..models.core import trainable_mask
+        # mask out non-trainable leaves: Frozen sub-flows AND Const-wrapped
+        # arrays (no updates, no weight decay for either)
+        from ..models.core import trainable_mask as frozen_mask
+        from ..struct import trainable_mask as const_mask
 
-        mask = trainable_mask(self._model.net_)
+        net = self._model.net_
+        mask = jax.tree_util.tree_map(
+            lambda a, b: a and b, frozen_mask(net), const_mask(net))
         if not all(jax.tree_util.tree_leaves(mask)):
             self.optimizer = optax.masked(self.optimizer, mask)
         self.opt_state = self.optimizer.init(self._model.net_)
@@ -116,9 +120,14 @@ class Fitter:
             if name == "adamw":
                 return optax.adamw(lr, weight_decay=wd)
             if name == "adam":
-                return optax.adam(lr)
+                # torch-Adam semantics: L2 folded into the gradient
+                tx = optax.adam(lr)
+                return optax.chain(optax.add_decayed_weights(wd), tx) if wd \
+                    else tx
             if name == "sgd":
-                return optax.sgd(lr)
+                tx = optax.sgd(lr)
+                return optax.chain(optax.add_decayed_weights(wd), tx) if wd \
+                    else tx
             raise ValueError(f"unknown optimizer {optimizer_class!r}")
 
         if not param_groups:

@@ -61,10 +61,13 @@ def calc_minus_logz(logq, logp):
 
 
 def calc_ess(logq, logp):
-    """Normalized effective sample size (reference _normflowcore.py:374-379)."""
-    logqp = logq - logp
-    log_ess = 2 * logsumexp(-logqp, axis=0) - logsumexp(-2 * logqp, axis=0)
-    return jnp.exp(log_ess) / logqp.shape[0]
+    """Normalized effective sample size (reference _normflowcore.py:374-379).
+
+    Delegates to the single implementation in ``ops.stats``.
+    """
+    from ..ops.stats import calc_ess as _calc_ess
+
+    return _calc_ess(logq, logp)
 
 
 def calc_minus_ess(logq, logp):

@@ -284,3 +284,32 @@ def test_flowlist_composition(rng, key):
     # intermediates
     stack = net.hack(x)
     assert len(stack) == 5
+
+
+def test_4d_conv_coupling_roundtrip(rng, key):
+    # 4-D lattice coupling: exercises the roll-and-sum Conv4d decomposition
+    # inside a full flow (higher-dim parity, reference convNd.py).
+    lat = (4, 4, 4, 4)
+    mask = EvenOddMask(shape=lat)
+    nets = tuple(
+        ConvNet.build(k, 1, 2, kernel_size=3, conv_dim=4, bias=False)
+        for k in jax.random.split(key, 2))
+    c = AffineCoupling(nets=nets, mask=mask)
+    x = jnp.asarray(rng.standard_normal((2, *lat)))
+    y, logj = c.forward(x)
+    x2, logj0 = c.backward(y, log0=logj)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(logj0), 0.0, atol=1e-9)
+
+
+def test_1d_and_3d_flows(rng, key):
+    for lat in [(12,), (6, 6, 6)]:
+        mask = EvenOddMask(shape=lat)
+        nets = tuple(
+            ConvNet.build(k, 1, 2, kernel_size=3, conv_dim=len(lat))
+            for k in jax.random.split(key, 2))
+        c = AffineCoupling(nets=nets, mask=mask)
+        x = jnp.asarray(rng.standard_normal((2, *lat)))
+        y, logj = c.forward(x)
+        x2, _ = c.backward(y)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
