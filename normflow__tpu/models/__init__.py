@@ -36,6 +36,7 @@ from .gauge import (U1PlaquetteCoupling, U1AngleAction,
                     build_u1_gauge_flow, u1_plaq_angle)
 from .masks import (
     EvenOddMask, AlongAxesEvenOddMask, DummyMask, DoubleMask,
+    PackedEvenOddMask,
     GaugeLinksDoubleMask, ZebraPlanarMask, MatrixMask, ListPartitioner,
     ChunkCatPartitioner, AlongAxisEvenOddPartitioner,
 )

@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "EvenOddMask", "AlongAxesEvenOddMask", "DummyMask", "DoubleMask",
+    "PackedEvenOddMask",
     "GaugeLinksDoubleMask", "ZebraPlanarMask", "MatrixMask",
     "ListPartitioner", "ChunkCatPartitioner", "AlongAxisEvenOddPartitioner",
 ]
@@ -247,6 +248,65 @@ class MatrixMask:
         if channel == 0:
             return (1 - m) * x_chnl + m * eye
         return m * x_chnl + (1 - m) * eye
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedEvenOddMask:
+    """Checkerboard partitioner with PACKED partitions (TPU-first, new).
+
+    ``split`` returns the even/odd sublattices as dense ``(B, L1, L2/2)``
+    arrays instead of zero-masked full-lattice fields.  Couplings built on
+    this mask run their conditioner convs and transforms on HALF the sites
+    -- 2x fewer FLOPs and bytes than the multiplicative ``EvenOddMask``
+    (which matches the reference's layout, mask/mask.py:45-61, where half of
+    every conv input is zeros and half of every output is discarded).
+
+    ``purify`` is the identity: the packed representation cannot be
+    contaminated by the other partition.  The conditioner sees the frozen
+    sublattice on a row-parity-skewed packed grid; this is a (equally
+    expressive) different conditioner family than the full-lattice conv, so
+    packed and unpacked couplings are not weight-compatible.
+
+    Requires even lattice dims.  2-D only (batch, L1, L2).
+    """
+
+    shape: tuple
+    parity: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "shape", tuple(self.shape))
+        l1, l2 = self.shape
+        assert l1 % 2 == 0 and l2 % 2 == 0, "packed mask needs even dims"
+
+    def _pack(self, x, parity):
+        b = x.shape[0]
+        l1, l2 = self.shape
+        e = x[:, 0::2, parity::2]
+        o = x[:, 1::2, (1 - parity)::2]
+        return jnp.stack([e, o], axis=2).reshape(b, l1, l2 // 2)
+
+    def _unpack_into(self, out, packed, parity):
+        b = packed.shape[0]
+        l1, l2 = self.shape
+        rows = packed.reshape(b, l1 // 2, 2, l2 // 2)
+        out = out.at[:, 0::2, parity::2].set(rows[:, :, 0])
+        out = out.at[:, 1::2, (1 - parity)::2].set(rows[:, :, 1])
+        return out
+
+    def split(self, x):
+        p = self.parity
+        return self._pack(x, p), self._pack(x, 1 - p)
+
+    def cat(self, x0, x1):
+        b = x0.shape[0]
+        out = jnp.zeros((b, *self.shape), x0.dtype)
+        out = self._unpack_into(out, x0, self.parity)
+        out = self._unpack_into(out, x1, 1 - self.parity)
+        return out
+
+    @staticmethod
+    def purify(x_chnl, *args, **kwargs):
+        return x_chnl
 
 
 @dataclasses.dataclass(frozen=True)

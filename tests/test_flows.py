@@ -313,3 +313,45 @@ def test_1d_and_3d_flows(rng, key):
         y, logj = c.forward(x)
         x2, _ = c.backward(y)
         np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-9)
+
+
+def test_packed_evenodd_mask_pack_unpack(rng):
+    from normflow__tpu.models import PackedEvenOddMask
+
+    m = PackedEvenOddMask(shape=(6, 8))
+    x = jnp.asarray(rng.standard_normal((3, 6, 8)))
+    x0, x1 = m.split(x)
+    assert x0.shape == (3, 6, 4) and x1.shape == (3, 6, 4)
+    np.testing.assert_allclose(np.asarray(m.cat(x0, x1)), np.asarray(x),
+                               atol=0)
+    # partition content matches the multiplicative checkerboard: parity 0
+    # sites of x all appear in x0
+    grid = np.indices((6, 8)).sum(0) % 2
+    vals0 = np.sort(np.asarray(x)[0][grid == 0])
+    np.testing.assert_allclose(np.sort(np.asarray(x0)[0].ravel()), vals0)
+
+
+def test_packed_coupling_roundtrip_and_logj(rng, key):
+    from normflow__tpu.models import PackedEvenOddMask
+
+    lat = (6, 8)
+    mask = PackedEvenOddMask(shape=lat)
+    m = 6
+    nets = tuple(
+        ConvNet.build(k, 1, 3 * m - 2, kernel_size=3, conv_dim=2,
+                      hidden_sizes=(4,), acts=("tanh", None))
+        for k in jax.random.split(key, 2))
+    c = RQSplineCoupling.build(nets, mask=mask, xlim=(-3, 3), ylim=(-3, 3),
+                               extrap={"left": "linear", "right": "linear"})
+    x = jnp.asarray(rng.standard_normal((4, *lat)))
+    check_roundtrip(c, x, atol=1e-8)
+    # exact logJ vs the full Jacobian determinant
+
+    def f(flat):
+        y, _ = c.forward(flat.reshape(1, *lat))
+        return y.ravel()
+
+    jac = jax.jacfwd(f)(x[0].ravel())
+    _, logdet = jnp.linalg.slogdet(jac)
+    _, logj = c.forward(x[:1])
+    np.testing.assert_allclose(float(logj[0]), float(logdet), rtol=1e-8)
