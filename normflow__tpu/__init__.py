@@ -28,6 +28,7 @@ from . import mcmc
 from . import parallel
 from . import nn
 from . import training
+from . import zoo
 
 # Reference-parity aliases
 from .models import priors as prior
@@ -38,7 +39,7 @@ from . import ops as lib
 __all__ = [
     "Model", "Posterior", "Fitter", "backward_sanitychecker",
     "nn", "prior", "action", "mask", "mcmc", "lib", "parallel",
-    "models", "ops", "losses", "training",
+    "models", "ops", "losses", "training", "zoo",
 ]
 
 __version__ = "0.1.0"

@@ -183,6 +183,32 @@ class ConvNet(Pytree):
         return self
 
 
+class RowParityFeature(Pytree):
+    """Wraps a net, appending a ±1 row-parity plane as an extra channel.
+
+    For conditioners on checkerboard-PACKED grids (``PackedEvenOddMask``):
+    the packed geometry is row-parity-skewed (physical column offsets
+    alternate by row), so a shared-weight conv needs the row parity as an
+    input feature to express row-consistent physical stencils.  The wrapped
+    net must expect one extra input channel.
+    """
+
+    net: Any
+
+    def __call__(self, x):
+        rows = jnp.arange(x.shape[1])
+        par = (2.0 * (rows % 2) - 1.0).astype(x.dtype)
+        shape = [1, x.shape[1]] + [1] * (x.ndim - 2)
+        plane = jnp.broadcast_to(par.reshape(shape), (*x.shape[:-1], 1))
+        return self.net(jnp.concatenate([x, plane], axis=-1))
+
+    def transfer(self, **kwargs):
+        return self.replace(net=self.net.transfer(**kwargs))
+
+    def zeroed(self):
+        return self.replace(net=self.net.zeroed())
+
+
 class Dense(Pytree):
     """One linear layer, features-last (torch Linear init)."""
 

@@ -8,22 +8,25 @@ from normflow__tpu.nn import (ModuleList_, RQSplineCoupling_, ConvAct,
 
 
 def flagship(packed=False, m=8, hidden=(16,16), lat=(32,32), dc_knots=16,
-             compute_dtype=None, seed=0):
+             compute_dtype=None, seed=0, parity_feature=False, ksize=3):
+    from normflow__tpu.models.nets import RowParityFeature
     if packed:
         mask = nf.models.PackedEvenOddMask(shape=lat)
     else:
         mask = nf.mask.EvenOddMask(shape=lat)
-    conv_kwargs = dict(in_channels=1, out_channels=3*m-2, hidden_sizes=hidden,
-        kernel_size=3, conv_dim=2, acts=('tanh',)*len(hidden)+(None,),
+    in_ch = 2 if parity_feature else 1
+    conv_kwargs = dict(in_channels=in_ch, out_channels=3*m-2, hidden_sizes=hidden,
+        kernel_size=ksize, conv_dim=2, acts=('tanh',)*len(hidden)+(None,),
         bias=False, compute_dtype=compute_dtype)
     keys = jax.random.split(jax.random.key(seed), 4)
+    mknet = (lambda kk: RowParityFeature(net=ConvAct.build(kk, **conv_kwargs)))         if parity_feature else (lambda kk: ConvAct.build(kk, **conv_kwargs))
     net = ModuleList_(flows=(
         PSDBlock_(mfnet=MeanFieldNet_.build(8, symmetric=True, smooth=True,
                                             final_scale=True),
                   fftnet=FFTNet_.build(lat, knots_len=8, ignore_zeromode=True)),
         DistConvertor_.build(dc_knots, symmetric=True, smooth=True),
         RQSplineCoupling_.build(
-            tuple(ConvAct.build(kk, **conv_kwargs) for kk in keys), mask=mask,
+            tuple(mknet(kk) for kk in keys), mask=mask,
             xlim=(-4.,4.), ylim=(-4.,4.),
             extrap={'left':'linear','right':'linear'}),
         DistConvertor_.build(dc_knots, symmetric=True, smooth=True),
@@ -58,6 +61,14 @@ def train(model, n, tag):
 if __name__ == '__main__':
     import sys
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
-    mP = flagship(packed=True)
-    train(mP, n, f'P(packed,{n})')
-    measure(mP, f'P(packed,{n})')
+    variant = sys.argv[2] if len(sys.argv) > 2 else 'packed'
+    if variant == 'packed':
+        mP = flagship(packed=True)
+    elif variant == 'packed_pf':
+        mP = flagship(packed=True, parity_feature=True)
+    elif variant == 'packed_pf_k5':
+        mP = flagship(packed=True, parity_feature=True, ksize=5)
+    else:
+        mP = flagship(packed=False)
+    train(mP, n, f'{variant},{n}')
+    measure(mP, f'{variant},{n}')

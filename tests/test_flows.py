@@ -355,3 +355,20 @@ def test_packed_coupling_roundtrip_and_logj(rng, key):
     _, logdet = jnp.linalg.slogdet(jac)
     _, logj = c.forward(x[:1])
     np.testing.assert_allclose(float(logj[0]), float(logdet), rtol=1e-8)
+
+
+def test_packed_coupling_with_parity_feature(rng, key):
+    from normflow__tpu.models import PackedEvenOddMask
+    from normflow__tpu.models.nets import RowParityFeature
+
+    lat = (6, 8)
+    mask = PackedEvenOddMask(shape=lat)
+    m = 5
+    nets = tuple(
+        RowParityFeature(net=ConvNet.build(
+            k, 2, 3 * m - 2, kernel_size=3, conv_dim=2))
+        for k in jax.random.split(key, 2))
+    c = RQSplineCoupling.build(nets, mask=mask, xlim=(-3, 3), ylim=(-3, 3),
+                               extrap={"left": "linear", "right": "linear"})
+    x = jnp.asarray(rng.standard_normal((4, *lat)))
+    check_roundtrip(c, x, atol=1e-8)
