@@ -34,12 +34,13 @@ def _softplus_log2(w):
     return jax.nn.softplus(w * _LOG2) / _LOG2
 
 
-def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, *, m, xlo, xw, ylo, yw,
-                left, right, inverse):
-    x = x_ref[:]  # (TB, TS)
-    wx = [out_ref[:, k, :] for k in range(m - 1)]
-    wy = [out_ref[:, (m - 1) + k, :] for k in range(m - 1)]
-    wd = [out_ref[:, 2 * (m - 1) + k, :] for k in range(m)]
+def _rqs_core(x, out, *, m, xlo, xw, ylo, yw, left, right, inverse):
+    """Pure function of loaded tiles: ``x (TB,TS), out (TB,K3,TS)`` ->
+    ``(y, logg)``.  Shared by the forward kernel and -- via ``jax.vjp`` at
+    trace time -- the analytic backward kernel."""
+    wx = [out[:, k, :] for k in range(m - 1)]
+    wy = [out[:, (m - 1) + k, :] for k in range(m - 1)]
+    wd = [out[:, 2 * (m - 1) + k, :] for k in range(m)]
 
     def coords(ws, lo, width):
         mx = ws[0]
@@ -99,25 +100,96 @@ def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, *, m, xlo, xw, ylo, yw,
         theta = (x - x0) / dx
         denom = mm + spread * theta * (1 - theta)
         y = y0 + dy * theta * (mm * theta + d0 * (1 - theta)) / denom
-        g = grad_of(theta)
-        y_ref[:] = y
-        logg_ref[:] = jnp.log(g)
-    else:
-        eta = (x - y0) / dy
-        a2 = -spread * eta + d0 - mm
-        a1 = -a2 - mm
-        a0 = mm * eta
-        delta = jnp.sqrt(jnp.maximum(a1 * a1 - 4 * a0 * a2, 0.0))
-        neg = a1 <= 0
-        q_minus = 0.5 * (-a1 + delta)
-        q_plus = -0.5 * (a1 + delta)
-        tiny = jnp.finfo(x.dtype).tiny
-        safe = lambda d: jnp.where(jnp.abs(d) < tiny, 1.0, d)
-        theta = jnp.where(neg,
-                          a0 / safe(jnp.where(neg, q_minus, 1.0)),
-                          q_plus / safe(jnp.where(neg, 1.0, a2)))
-        y_ref[:] = x0 + dx * theta
-        logg_ref[:] = -jnp.log(grad_of(theta))
+        return y, jnp.log(grad_of(theta))
+
+    eta = (x - y0) / dy
+    a2 = -spread * eta + d0 - mm
+    a1 = -a2 - mm
+    a0 = mm * eta
+    delta = jnp.sqrt(jnp.maximum(a1 * a1 - 4 * a0 * a2, 0.0))
+    neg = a1 <= 0
+    q_minus = 0.5 * (-a1 + delta)
+    q_plus = -0.5 * (a1 + delta)
+    tiny = jnp.finfo(x.dtype).tiny
+    safe = lambda d: jnp.where(jnp.abs(d) < tiny, 1.0, d)
+    theta = jnp.where(neg,
+                      a0 / safe(jnp.where(neg, q_minus, 1.0)),
+                      q_plus / safe(jnp.where(neg, 1.0, a2)))
+    return x0 + dx * theta, -jnp.log(grad_of(theta))
+
+
+def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, **cfg):
+    y, logg = _rqs_core(x_ref[:], out_ref[:], **cfg)
+    y_ref[:] = y
+    logg_ref[:] = logg
+
+
+def _rqs_bwd_kernel(x_ref, out_ref, ybar_ref, loggbar_ref,
+                    xbar_ref, outbar_ref, **cfg):
+    """Analytic VJP, VMEM-resident: recompute the forward on the tile and
+    transpose it via ``jax.vjp`` (trace-time -- lowers to elementwise ops)."""
+    f = functools.partial(_rqs_core, **cfg)
+    _, vjp = jax.vjp(f, x_ref[:], out_ref[:])
+    xbar, outbar = vjp((ybar_ref[:], loggbar_ref[:]))
+    xbar_ref[:] = xbar
+    outbar_ref[:] = outbar
+
+
+@functools.lru_cache(maxsize=None)
+def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
+             dtype_name):
+    """Build (and cache) the custom-VJP fused op for one static config.
+
+    Forward AND backward are Pallas kernels; the backward recomputes the
+    tile forward and transposes it in-register (residuals are just the
+    inputs), so training never materializes knot intermediates in HBM.
+    """
+    dtype = jnp.dtype(dtype_name)
+    m = (k3 + 2) // 3
+    cfg = dict(m=m, xlo=xlim[0], xw=xlim[1] - xlim[0],
+               ylo=ylim[0], yw=ylim[1] - ylim[0], left=left, right=right,
+               inverse=inverse)
+    vec_spec = pl.BlockSpec((tb, ts), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb, k3, ts), lambda i, j: (i, 0, j),
+                            memory_space=pltpu.VMEM)
+    vec_shape = jax.ShapeDtypeStruct((b, sp), dtype)
+    full_shape = jax.ShapeDtypeStruct((b, k3, sp), dtype)
+
+    def pallas_fwd(xf, of):
+        return pl.pallas_call(
+            functools.partial(_rqs_kernel, **cfg),
+            out_shape=(vec_shape, vec_shape),
+            grid=(b // tb, sp // ts),
+            in_specs=[vec_spec, out_spec],
+            out_specs=(vec_spec, vec_spec),
+            interpret=interpret,
+        )(xf, of)
+
+    def pallas_bwd(xf, of, ybar, loggbar):
+        return pl.pallas_call(
+            functools.partial(_rqs_bwd_kernel, **cfg),
+            out_shape=(vec_shape, full_shape),
+            grid=(b // tb, sp // ts),
+            in_specs=[vec_spec, out_spec, vec_spec, vec_spec],
+            out_specs=(vec_spec, out_spec),
+            interpret=interpret,
+        )(xf, of, ybar, loggbar)
+
+    @jax.custom_vjp
+    def op(xf, of):
+        return pallas_fwd(xf, of)
+
+    def fwd(xf, of):
+        return pallas_fwd(xf, of), (xf, of)
+
+    def bwd(res, ct):
+        xf, of = res
+        ybar, loggbar = ct
+        return pallas_bwd(xf, of, ybar, loggbar)
+
+    op.defvjp(fwd, bwd)
+    return op
 
 
 @functools.partial(jax.jit,
@@ -133,12 +205,12 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
     (channels-last).  Returns ``(y, log_grad)`` with the shapes of ``x``.
     Equivalent to building knots via softmax/cumsum/softplus + linear
     augmentation and calling ``ops.spline.rqs`` (couplings.py XLA path).
+    Differentiable: the VJP is an analytic Pallas backward kernel.
     """
     orig_shape = x.shape
     b = x.shape[0]
     s = int(np.prod(x.shape[1:]))
     k3 = out.shape[-1]
-    m = (k3 + 2) // 3
 
     xf = x.reshape(b, s)
     of = jnp.moveaxis(out.reshape(b, s, k3), -1, 1)  # (B, K3, S)
@@ -154,30 +226,9 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
         of = jnp.pad(of, ((0, 0), (0, 0), (0, pad)))
     sp = s + pad
 
-    kernel = functools.partial(
-        _rqs_kernel, m=m, xlo=xlim[0], xw=xlim[1] - xlim[0],
-        ylo=ylim[0], yw=ylim[1] - ylim[0], left=left, right=right,
-        inverse=inverse)
-
-    y, logg = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, sp), x.dtype),
-                   jax.ShapeDtypeStruct((b, sp), x.dtype)),
-        grid=(b // tb, sp // ts),
-        in_specs=[
-            pl.BlockSpec((tb, ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, k3, ts), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tb, ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, ts), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(xf, of)
+    op = _make_op(b, sp, k3, tb, ts, tuple(xlim), tuple(ylim), left, right,
+                  inverse, interpret, jnp.dtype(x.dtype).name)
+    y, logg = op(xf, of)
 
     if pad:
         y, logg = y[:, :s], logg[:, :s]

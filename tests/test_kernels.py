@@ -72,3 +72,49 @@ def test_pallas_action_backend(rng):
     x = jnp.asarray(rng.standard_normal((4, 8, 8)), jnp.float32)
     np.testing.assert_allclose(np.asarray(act_x.action(x)),
                                np.asarray(act_x.action(x)))
+
+
+def test_rqs_fused_gradients_match_xla(rng):
+    """The Pallas custom-VJP backward must match jax.grad of the XLA path."""
+    m, b, lat = 5, 4, (4, 8)
+    x = jnp.asarray(rng.standard_normal((b, *lat)), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((b, *lat, 3 * m - 2)) * 0.5,
+                      jnp.float32)
+    kw = dict(xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), left="linear",
+              right="linear")
+
+    def loss_pallas(x, out):
+        y, logg = rqs_transform_fused(x, out, **kw, interpret=True,
+                                      site_tile=32)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(logg)
+
+    def loss_xla(x, out):
+        kx, ky, kd = _knots_from_net_out(
+            out, xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), xwidth=6.0, ywidth=6.0,
+            fixed_x=None, fixed_y=None,
+            extrap=(("left", "linear"), ("right", "linear")))
+        y, g = sp.rqs(x, kx, ky, kd)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(jnp.log(g))
+
+    gx_p, go_p = jax.grad(loss_pallas, argnums=(0, 1))(x, out)
+    gx_x, go_x = jax.grad(loss_xla, argnums=(0, 1))(x, out)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(go_p), np.asarray(go_x), atol=2e-4)
+
+
+def test_rqs_fused_inverse_gradients(rng):
+    m, b, lat = 4, 2, (4, 4)
+    x = jnp.asarray(rng.standard_normal((b, *lat)), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((b, *lat, 3 * m - 2)) * 0.5,
+                      jnp.float32)
+    kw = dict(xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), left="linear",
+              right="linear", inverse=True)
+
+    def loss(x, out):
+        y, logg = rqs_transform_fused(x, out, **kw, interpret=True,
+                                      site_tile=16)
+        return jnp.sum(y * y) + jnp.sum(logg)
+
+    gx, go = jax.grad(loss, argnums=(0, 1))(x, out)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(go)).all()
