@@ -238,6 +238,36 @@ class MCMCSampler:
             out["samples"] = ys
         return out
 
+    def sample_parallel_chains(self, n_rounds, n_chains, key=None,
+                               collect_samples=False):
+        """Run ``n_chains`` INDEPENDENT Metropolis chains for ``n_rounds``.
+
+        Each chain receives one proposal per round and accepts/rejects
+        against its own reference -- the accept step is elementwise over
+        chains (no sequential scan at all), so the whole sampler is
+        embarrassingly parallel and shards over a device mesh (the
+        multi-chip production sampler, BASELINE config 4).  This is a
+        different chain structure than :meth:`sample__`/:meth:`sample_chain`
+        (which thread ONE chain through the batch, reference semantics);
+        both are exact.
+
+        Returns a dict with per-round ``accept_rate`` (n_rounds,), the
+        final per-chain states, corrected ``logq``/``logp`` streams
+        (n_rounds, n_chains), and optionally all corrected samples.
+        """
+        m = self._model
+        key = m.next_key() if key is None else key
+        carry, (ys, logq, logp, accept_rate) = _parallel_chains_scan(
+            m.net_, m.prior, m.action, key, n_rounds, n_chains,
+            collect_samples)
+        for r in jax.device_get(accept_rate):
+            self.history.bookkeeping(accept_rate=float(r))
+        out = dict(logq=logq, logp=logp, accept_rate=accept_rate,
+                   final_samples=carry[0])
+        if collect_samples:
+            out["samples"] = ys
+        return out
+
     def serial_sample_generator(self, n_samples, batch_size=16, key=None):
         """Yield chain samples one by one (reference mcmc.py:89-97)."""
         m = self._model
@@ -310,6 +340,38 @@ def _chain_scan(net, prior, action, key, carry0, n_batches, batch_size,
         return (yn[-1], lqn[-1], lpn[-1]), out
 
     keys = jax.random.split(key, n_batches)
+    return jax.lax.scan(body, carry0, keys)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _parallel_chains_scan(net, prior, action, key, n_rounds, n_chains,
+                          collect_samples):
+    """n_chains independent chains, one proposal each per round; accepts are
+    elementwise (no scan over the batch)."""
+
+    def body(carry, k):
+        ref_y, ref_lq, ref_lp = carry
+        k1, k2 = jax.random.split(k)
+        x, logr = prior.sample_(k1, n_chains)
+        y, logj = net.forward(x)
+        logq = logr - logj
+        logp = -action(y)
+        lrand = jnp.log(jax.random.uniform(k2, (n_chains,), logq.dtype))
+        accept = lrand < (ref_lq - ref_lp) - (logq - logp)
+        bshape = (n_chains,) + (1,) * (y.ndim - 1)
+        yn = jnp.where(accept.reshape(bshape), y, ref_y)
+        lqn = jnp.where(accept, logq, ref_lq)
+        lpn = jnp.where(accept, logp, ref_lp)
+        out = (yn if collect_samples else jnp.zeros((0,)),
+               lqn, lpn, jnp.mean(accept.astype(logq.dtype)))
+        return (yn, lqn, lpn), out
+
+    probe = prior.sample(jax.random.key(0), n_chains)
+    dt = jax.tree_util.tree_leaves(probe)[0].dtype
+    carry0 = (jnp.zeros_like(probe),
+              jnp.full((n_chains,), jnp.inf, dt),   # first proposal accepted
+              jnp.zeros((n_chains,), dt))
+    keys = jax.random.split(key, n_rounds)
     return jax.lax.scan(body, carry0, keys)
 
 

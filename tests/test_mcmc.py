@@ -177,3 +177,28 @@ def test_mcmc_exactness_2d_free_theory():
     err = phi2.std() / np.sqrt(len(phi2) / 10)
     assert abs(phi2.mean() - exact) < 5 * err + 0.005, (phi2.mean(), exact)
     assert float(np.mean(np.asarray(out["accept_rate"]))) > 0.8
+
+
+def test_parallel_chains_exactness():
+    """1024 independent 1-proposal-per-round chains must reproduce the
+    quadrature <phi^2> (elementwise-accept production sampler)."""
+    model = _zerodim_model()
+    model.fit(n_epochs=300, batch_size=256,
+              hyperparam=dict(lr=0.01, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=None), steps_per_call=300)
+    out = model.mcmc.sample_parallel_chains(32, 1024, collect_samples=True)
+    # discard a short burn-in, then average
+    phi2 = (np.asarray(out["samples"])[4:] ** 2).ravel()
+    exact = _exact_phi2()
+    err = phi2.std() / np.sqrt(len(phi2) / 5)
+    assert abs(phi2.mean() - exact) < 5 * err + 0.01, (phi2.mean(), exact)
+    assert float(np.asarray(out["accept_rate"])[1:].mean()) > 0.85
+    assert out["final_samples"].shape == (1024, 1)
+
+
+def test_parallel_chains_sharded():
+    import os
+    model = _zerodim_model()
+    model.device_handler.use_mesh(n_devices=4)
+    out = model.mcmc.sample_parallel_chains(4, 64)
+    assert out["logq"].shape == (4, 64)
