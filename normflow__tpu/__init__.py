@@ -19,6 +19,10 @@ Public layout (mirroring the reference's ``normflow`` package):
 - ``normflow__tpu.parallel`` -- device mesh / distributed handler
 """
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from .training.model import Model, Posterior, backward_sanitychecker
 from .training.fitter import Fitter
 from .training import losses
@@ -39,7 +43,7 @@ from . import ops as lib
 __all__ = [
     "Model", "Posterior", "Fitter", "backward_sanitychecker",
     "nn", "prior", "action", "mask", "mcmc", "lib", "parallel",
-    "models", "ops", "losses", "training", "zoo",
+    "models", "ops", "losses", "training", "zoo", "jax", "jnp", "np",
 ]
 
 __version__ = "0.1.0"
