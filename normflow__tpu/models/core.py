@@ -63,6 +63,11 @@ class Flow(Pytree):
         """Hook for transfer learning (reference nn/_core.py:30-32)."""
         return self
 
+    def to(self, device_or_sharding):
+        """Functional device placement (reference ``ModuleList_.to``,
+        nn/_core.py:132-134): returns a copy with all leaves placed."""
+        return jax.device_put(self, device_or_sharding)
+
 
 class FlowList(Flow):
     """Sequential composition of flows, accumulating the log-Jacobian.
