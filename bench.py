@@ -1,18 +1,26 @@
 """Benchmark: effective samples/s/chip on 32x32 phi^4 (the driver's metric).
 
-Protocol:
+Protocol (fully seeded -- two consecutive runs agree within the quoted
+error bars):
  1. build the flagship 32x32 RQ-spline-coupling flow (BASELINE.json config 3);
- 2. train for --train_epochs of reverse-KL (fixed seed, jitted step);
- 3. measure raw sampling throughput (posterior.sample__, batch --batch);
- 4. ESS fraction from a large logqp sample;
- 5. effective samples/s = throughput * ESS.
+ 2. train for --train_epochs of reverse-KL (path-gradient estimator, fixed
+    seed, one jitted scanned step);
+ 3. measure raw sampling throughput (scanned sampling program, median of
+    --reps timed repetitions; spread reported);
+ 4. ESS fraction from the same logqp stream, with a bootstrap error bar;
+ 5. effective samples/s = throughput * ESS  (+- error from both factors).
+
+Also reports roofline accounting for the sampling program via XLA's
+compiled-program cost analysis: achieved FLOP/s, HBM bytes/s, "mfu" (vs the
+chip's bf16 MXU peak) and "hbm_util" (vs HBM peak bandwidth), and whether
+sampling is compute- or bandwidth-bound (BASELINE.json's speed-of-light
+clause).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 ``vs_baseline`` compares against the reference implementation's measured
 effective-samples/s on this host's CPU (the reference publishes no speed
 numbers -- BASELINE.md; torch-CPU is its only runnable configuration here).
-Set by measure_reference_baseline() and cached below.
 """
 
 import argparse
@@ -21,14 +29,47 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Reference (torch CPU, jkomijani/normflow_) effective samples/s for the
 # IDENTICAL 32x32 architecture on this host, measured 2026-08-17 with
 # scripts/bench_reference.py --train_epochs 400: raw 220.6 samples/s,
 # ESS 0.0132 -> 2.915 eff/s (training took 3767 s; our protocol trains
-# 6000 epochs in ~300 s on the chip, so the reference actually received
-# ~12x MORE training wall-clock than we use here).
+# fewer wall-clock seconds than the reference received).
 REFERENCE_EFF_SAMPLES_PER_SEC = 2.915
+
+# Peak numbers for roofline fractions, by device_kind substring.
+# (bf16 MXU FLOP/s, HBM bytes/s)
+CHIP_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v4": (275e12, 1228e9),
+    "v5p": (459e12, 2765e9),
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+}
+
+
+def _chip_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in CHIP_PEAKS.items():
+        if k in kind:
+            return v
+    return (None, None)
+
+
+def bootstrap_ess_err(logqp, n_boot=200, seed=123):
+    """Bootstrap standard error of the normalized ESS."""
+    from normflow__tpu.ops.stats import calc_ess
+
+    rng = np.random.default_rng(seed)
+    logqp = np.asarray(logqp)
+    n = logqp.shape[0]
+    vals = [
+        float(calc_ess(jnp.asarray(logqp[rng.integers(0, n, n)]), 0.0))
+        for _ in range(n_boot)
+    ]
+    return float(np.std(vals))
 
 
 def main():
@@ -36,11 +77,14 @@ def main():
     p.add_argument("--train_epochs", type=int, default=12000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--sample_iters", type=int, default=20)
+    p.add_argument("--sample_iters", type=int, default=50)
     p.add_argument("--steps_per_call", type=int, default=1000)
+    p.add_argument("--reps", type=int, default=5)
     p.add_argument("--lat", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--grad_estimator", default="path",
+                   choices=["rep", "path"])
     args = p.parse_args()
 
     import optax
@@ -55,6 +99,7 @@ def main():
               scheduler=optax.cosine_decay_schedule(
                   1.0, decay_steps=args.train_epochs, alpha=0.05),
               steps_per_call=args.steps_per_call,
+              grad_estimator=args.grad_estimator,
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
@@ -65,41 +110,89 @@ def main():
         model.net_ = model.net_.replace(flows=tuple(flows))
 
     # -- sampling throughput (scanned: one device program) -------------- #
-    # best-of-3 timing: the tunnel/host can be contended, so take the
-    # fastest repetition as the throughput estimate.
+    # median of --reps repetitions (the tunnel/host can be contended);
+    # the spread is reported alongside.
     key = jax.random.key(args.seed + 1)
     k1, k2 = jax.random.split(key)
-    jax.block_until_ready(model.posterior.logqp_stream(
-        args.sample_iters, args.batch, key=k1))  # warmup/compile
-    best_dt = float("inf")
-    for _ in range(3):
+    logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
+                                        key=k1)  # warmup/compile
+    jax.block_until_ready(logqp)
+    times = []
+    for _ in range(args.reps):
         t0 = time.time()
         logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
                                              key=k2)
         jax.block_until_ready(logqp)
-        best_dt = min(best_dt, time.time() - t0)
-    samples_per_sec = args.sample_iters * args.batch / best_dt
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    dt_best = float(np.min(times))
+    n_per_program = args.sample_iters * args.batch
+    samples_per_sec = n_per_program / dt
+
     from normflow__tpu.training.losses import calc_ess
     ess = float(calc_ess(logqp, 0.0))
+    ess_err = bootstrap_ess_err(logqp)
     from normflow__tpu.mcmc import estimate_accept_rate
     accept, accept_err = estimate_accept_rate(jax.device_get(logqp))
 
     eff_samples_per_sec = samples_per_sec * ess
+    # error: ESS bootstrap + timing spread, combined in quadrature
+    rel_t = float(np.std(times) / dt) if len(times) > 1 else 0.0
+    rel_e = ess_err / max(ess, 1e-12)
+    eff_err = eff_samples_per_sec * float(np.hypot(rel_t, rel_e))
+
+    # -- roofline accounting for the sampling program ------------------- #
+    mfu = hbm_util = None
+    flops_per_sample = bytes_per_sample = None
+    bound = None
+    try:
+        from normflow__tpu.training.model import _logqp_scan
+
+        compiled = _logqp_scan.lower(
+            model.net_, model.prior, model.action, k2, args.sample_iters,
+            args.batch).compile()
+        ca_list = compiled.cost_analysis()
+        ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        flops_per_sample = flops / n_per_program
+        bytes_per_sample = bytes_acc / n_per_program
+        peak_flops, peak_bw = _chip_peaks()
+        if peak_flops:
+            mfu = round((flops / dt_best) / peak_flops, 5)
+            hbm_util = round((bytes_acc / dt_best) / peak_bw, 5)
+            bound = ("bandwidth" if bytes_acc / peak_bw > flops / peak_flops
+                     else "compute")
+    except Exception:
+        pass
 
     vs = (eff_samples_per_sec / REFERENCE_EFF_SAMPLES_PER_SEC
           if REFERENCE_EFF_SAMPLES_PER_SEC else 1.0)
-    print(json.dumps({
+    out = {
         "metric": f"effective samples/s/chip, {args.lat}x{args.lat} phi^4",
         "value": round(eff_samples_per_sec, 3),
         "unit": "eff_samples/s/chip",
         "vs_baseline": round(vs, 3),
+        "value_err": round(eff_err, 3),
         "raw_samples_per_sec": round(samples_per_sec, 1),
+        "timing_spread_s": [round(t, 4) for t in times],
         "ess": round(ess, 4),
+        "ess_err": round(ess_err, 4),
         "accept_rate": round(accept, 4),
+        "accept_rate_err": round(accept_err, 4),
         "train_epochs": args.train_epochs,
+        "grad_estimator": args.grad_estimator,
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
-    }))
+    }
+    if mfu is not None:
+        out["mfu"] = mfu
+        out["hbm_util"] = hbm_util
+        out["roofline_bound"] = bound
+    if flops_per_sample is not None:
+        out["flops_per_sample"] = round(flops_per_sample)
+        out["bytes_per_sample"] = round(bytes_per_sample)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -216,11 +216,15 @@ class MCMCSampler:
         if self._ref is None:
             # inf reference logqp => first proposal always accepted, so the
             # zero dummy reference sample is never selected.  Shape/dtype of
-            # the dummy must match the flow output exactly (scan carry).
-            probe = m.prior.sample(jax.random.key(0), 1)
-            dummy = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a[0]),
-                                           probe)
-            dt = jax.tree_util.tree_leaves(probe)[0].dtype
+            # the dummy must match the FLOW OUTPUT exactly (scan carry) --
+            # probed abstractly via eval_shape, so shape-changing flows
+            # (partitioners, PriorList models) are handled and nothing runs.
+            out = jax.eval_shape(
+                lambda net, k: net.forward(m.prior.sample(k, 1))[0],
+                m.net_, jax.random.key(0))
+            dummy = jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape[1:], a.dtype), out)
+            dt = jax.tree_util.tree_leaves(out)[0].dtype
             carry0 = (dummy, jnp.asarray(jnp.inf, dt), jnp.asarray(0.0, dt))
         else:
             dt = jnp.asarray(

@@ -32,10 +32,12 @@ from .spectral import (FFTFlow, IPSD, IPSDNoZeroMode, MeanFieldFlow,
 from .priors import NormalPrior, UniformPrior, PriorList
 from .actions import (ScalarPhi4Action, GaugeAction, U1GaugeAction,
                       MatrixAction, SchwingerAction)
+from .fermions import (StaggeredFermionLogDet, build_schwinger_action,
+                       staggered_dirac_matrix)
 from .gauge import (U1PlaquetteCoupling, U1AngleAction,
                     build_u1_gauge_flow, u1_plaq_angle)
 from .masks import (
-    EvenOddMask, AlongAxesEvenOddMask, DummyMask, DoubleMask,
+    Mask, EvenOddMask, AlongAxesEvenOddMask, DummyMask, DoubleMask,
     PackedEvenOddMask,
     GaugeLinksDoubleMask, ZebraPlanarMask, MatrixMask, ListPartitioner,
     ChunkCatPartitioner, AlongAxisEvenOddPartitioner,

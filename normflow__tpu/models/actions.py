@@ -239,3 +239,12 @@ class MatrixAction(Pytree):
     @property
     def parameters(self):
         return {"beta": self.beta}
+
+
+# staggered-fermion log-det for SchwingerAction (namespace convenience)
+from .fermions import (  # noqa: E402
+    StaggeredFermionLogDet, build_schwinger_action, staggered_dirac_matrix,
+)
+
+__all__ += ["StaggeredFermionLogDet", "build_schwinger_action",
+            "staggered_dirac_matrix"]

@@ -29,15 +29,18 @@ __all__ = [
     "Coupling", "ShiftCoupling", "AffineCoupling", "RQSplineCoupling",
     "MultiRQSplineCoupling", "DirectCntrCoupling", "CntrCoupling",
     "CntrShiftCoupling", "CntrAffineCoupling", "CntrRQSplineCoupling",
-    "CntrMultiRQSplineCoupling",
+    "CntrMultiRQSplineCoupling", "refresh_controls", "has_controls",
 ]
 
 
 class Coupling(Flow):
     """Base coupling (reference couplings_.py:22-103).
 
-    ``mask.split(x) -> [x0, x1]``; net ``k`` transforms partition ``k % 2``
-    using the other partition as frozen input; ``mask.cat`` reassembles.
+    ``mask.split(x) -> (x0, x1, *extra)``; net ``k`` transforms partition
+    ``k % 2`` using the other partition as frozen input; ``mask.cat``
+    reassembles.  Any ``extra`` split outputs (e.g. ``DoubleMask``'s
+    invisible partition) are threaded through to ``cat`` unchanged, keeping
+    the pipeline functional.
     """
 
     nets: tuple
@@ -48,22 +51,24 @@ class Coupling(Flow):
         object.__setattr__(self, "nets", tuple(self.nets))
 
     def forward(self, x, log0=0.0, *, density: bool = False):
-        x = list(self.mask.split(x))
+        parts = list(self.mask.split(x))
+        x, extra = parts[:2], parts[2:]
         for k, net in enumerate(self.nets):
             parity = k % 2
             x[parity], log0 = self.atomic_forward(
                 x_active=x[parity], x_frozen=x[1 - parity], parity=parity,
                 net=net, log0=log0, density=density)
-        return self.mask.cat(*x), log0
+        return self.mask.cat(*x, *extra), log0
 
     def backward(self, x, log0=0.0, *, density: bool = False):
-        x = list(self.mask.split(x))
+        parts = list(self.mask.split(x))
+        x, extra = parts[:2], parts[2:]
         for k in reversed(range(len(self.nets))):
             parity = k % 2
             x[parity], log0 = self.atomic_backward(
                 x_active=x[parity], x_frozen=x[1 - parity], parity=parity,
                 net=self.nets[k], log0=log0, density=density)
-        return self.mask.cat(*x), log0
+        return self.mask.cat(*x, *extra), log0
 
     def atomic_forward(self, *, x_active, x_frozen, parity, net, log0,
                        density):
@@ -345,26 +350,28 @@ class DirectCntrCoupling(Flow):
     def forward(self, x_and_control, log0=0.0, *, density: bool = False):
         x, control = x_and_control
         c = self.coupling
-        x = list(c.mask.split(x))
+        parts = list(c.mask.split(x))
+        x, extra = parts[:2], parts[2:]
         for k, net in enumerate(c.nets):
             parity = k % 2
             x_frozen = control if k == 0 else x[1 - parity]
             x[parity], log0 = c.atomic_forward(
                 x_active=x[parity], x_frozen=x_frozen, parity=parity,
                 net=net, log0=log0, density=density)
-        return (c.mask.cat(*x), control), log0
+        return (c.mask.cat(*x, *extra), control), log0
 
     def backward(self, x_and_control, log0=0.0, *, density: bool = False):
         x, control = x_and_control
         c = self.coupling
-        x = list(c.mask.split(x))
+        parts = list(c.mask.split(x))
+        x, extra = parts[:2], parts[2:]
         for k in reversed(range(len(c.nets))):
             parity = k % 2
             x_frozen = control if k == 0 else x[1 - parity]
             x[parity], log0 = c.atomic_backward(
                 x_active=x[parity], x_frozen=x_frozen, parity=parity,
                 net=c.nets[k], log0=log0, density=density)
-        return (c.mask.cat(*x), control), log0
+        return (c.mask.cat(*x, *extra), control), log0
 
 
 class CntrCoupling(Flow):
@@ -372,29 +379,104 @@ class CntrCoupling(Flow):
 
     The reference version (cntr_couplings_.py:54-79) draws a fresh control
     per forward call and stashes it mutably for the backward pass.  Here the
-    control is an explicit array leaf: call :meth:`refresh_control` to draw a
-    new one (functional -- returns a new flow), keeping forward/backward pure
-    and serializable.
+    control is an explicit (non-trainable, ``Const``-wrapped) array leaf:
+    call :meth:`refresh_control` to draw a new one (functional -- returns a
+    new flow), keeping forward/backward pure and serializable.  The
+    ``Fitter`` refreshes controls automatically every training step (see
+    :func:`refresh_controls`), matching the reference's fresh-control-per-
+    forward semantics during training.
     """
 
     coupling: Any
-    control: jax.Array | None = None
+    control: Any = None
     control_generator: Any = static(default=None)
     label: str | None = static(default="cntr_coupling_")
 
     def refresh_control(self, key, batch_size: int) -> "CntrCoupling":
-        assert self.control_generator is not None
-        return self.replace(control=self.control_generator(key, batch_size))
+        if self.control_generator is None:
+            raise ValueError(
+                "CntrCoupling.refresh_control needs a control_generator "
+                "(a callable (key, batch_size) -> control array)")
+        from ..struct import Const
+
+        return self.replace(
+            control=Const(self.control_generator(key, batch_size)))
+
+    def _control_value(self):
+        from ..struct import stop_const
+
+        if self.control is None:
+            raise ValueError(
+                "CntrCoupling has no control tensor: call "
+                "refresh_control(key, batch_size) first (the Fitter does "
+                "this automatically when a control_generator is set)")
+        return stop_const(self.control)
 
     def forward(self, x, log0=0.0, *, density: bool = False):
         (y, _), log0 = DirectCntrCoupling(coupling=self.coupling).forward(
-            (x, self.control), log0, density=density)
+            (x, self._control_value()), log0, density=density)
         return y, log0
 
     def backward(self, x, log0=0.0, *, density: bool = False):
         (y, _), log0 = DirectCntrCoupling(coupling=self.coupling).backward(
-            (x, self.control), log0, density=density)
+            (x, self._control_value()), log0, density=density)
         return y, log0
+
+
+def has_controls(flow) -> bool:
+    """True if any sub-flow is a ``CntrCoupling`` with a control generator."""
+    found = []
+
+    def visit(node):
+        if isinstance(node, CntrCoupling) and node.control_generator is not None:
+            found.append(node)
+        return node
+
+    _map_subflows(visit, flow)
+    return bool(found)
+
+
+def refresh_controls(flow, key, batch_size: int):
+    """Draw a fresh control for every ``CntrCoupling`` in ``flow``.
+
+    Functional counterpart of the reference's fresh-control-per-forward
+    (cntr_couplings_.py:64-69): returns a new flow pytree with each
+    controlled coupling's ``control`` leaf resampled from its generator.
+    Each coupling gets an independent subkey.
+    """
+    counter = [0]
+
+    def visit(node):
+        if isinstance(node, CntrCoupling) and node.control_generator is not None:
+            sub = jax.random.fold_in(key, counter[0])
+            counter[0] += 1
+            return node.refresh_control(sub, batch_size)
+        return node
+
+    return _map_subflows(visit, flow)
+
+
+def _map_subflows(fn, node):
+    """Recursively rebuild a flow pytree, applying ``fn`` to every dataclass
+    node (children first, then the node itself)."""
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in _dc.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, (tuple, list)):
+                new_v = type(v)(_map_subflows(fn, item) for item in v)
+                if any(a is not b for a, b in zip(new_v, v)):
+                    changes[f.name] = new_v
+            else:
+                new_v = _map_subflows(fn, v)
+                if new_v is not v:
+                    changes[f.name] = new_v
+        if changes:
+            node = _dc.replace(node, **changes)
+        return fn(node)
+    return node
 
 
 def CntrShiftCoupling(nets, *, mask, control_generator=None, **kwargs):

@@ -1,0 +1,142 @@
+r"""Staggered fermions: the Dirac log-determinant for the Schwinger model.
+
+Completes ``SchwingerAction`` (models/actions.py): the reference sketches a
+U(1)-gauge + staggered-fermion action but its fermion part is non-functional
+(/root/reference/src/action/schwinger_action.py:8-32 -- unresolvable imports
+and an undefined ``subtractive_term``).  This module supplies the working
+TPU-native design: a vectorized construction of the staggered Dirac matrix
+``D`` from U(1) links and a batched ``slogdet`` (differentiable, so the
+fermion determinant participates in flow training).
+
+Staggered (Kogut-Susskind) operator on a d-dim periodic lattice:
+
+.. math::
+    D_{x,y} = m\,\delta_{x,y} + \tfrac{1}{2}\sum_\mu \eta_\mu(x)
+        \big[ U_\mu(x)\,\delta_{x+\hat\mu,y}
+            - U^*_\mu(x-\hat\mu)\,\delta_{x-\hat\mu,y} \big],
+
+with phases :math:`\eta_\mu(x) = (-1)^{x_0+\dots+x_{\mu-1}}` and (by
+default) antiperiodic boundary conditions in the time direction (axis 0).
+The hopping part is anti-Hermitian, so ``det D = prod(m^2 + |lambda|^2)``
+is real and positive for ``m > 0`` -- ``slogdet``'s log-magnitude IS the
+log-determinant.
+
+Scaling note: ``D`` is ``V x V`` (V = lattice volume); the batched
+``slogdet`` is an MXU-friendly LU factorization but cubic in V, so this is
+the small-to-moderate-volume exact path (e.g. up to ~16x16).  Larger
+volumes call for a stochastic estimator, which can be plugged into
+``SchwingerAction.logdet_func`` the same way.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..struct import Pytree, static
+
+__all__ = ["StaggeredFermionLogDet", "staggered_dirac_matrix",
+           "build_schwinger_action"]
+
+
+def _site_tables(lat_shape, antiperiodic_time=True):
+    """Static index/phase tables for the staggered operator.
+
+    Returns, per direction mu: forward/backward neighbor linear indices,
+    eta phases, and boundary signs (antiperiodic wrap in time).
+    """
+    lat_shape = tuple(lat_shape)
+    ndim = len(lat_shape)
+    coords = np.stack(np.meshgrid(
+        *[np.arange(n) for n in lat_shape], indexing="ij"), axis=0)
+    coords = coords.reshape(ndim, -1)  # (ndim, V)
+
+    def lin(c):
+        idx = np.zeros(c.shape[1], dtype=np.int64)
+        for mu in range(ndim):
+            idx = idx * lat_shape[mu] + c[mu]
+        return idx
+
+    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = [], [], [], [], []
+    for mu in range(ndim):
+        cp = coords.copy()
+        cp[mu] = (cp[mu] + 1) % lat_shape[mu]
+        cm = coords.copy()
+        cm[mu] = (cm[mu] - 1) % lat_shape[mu]
+        nbr_plus.append(lin(cp))
+        nbr_minus.append(lin(cm))
+        eta.append((-1.0) ** coords[:mu].sum(axis=0))
+        if antiperiodic_time and mu == 0:
+            sgn_plus.append(np.where(coords[0] == lat_shape[0] - 1, -1.0, 1.0))
+            sgn_minus.append(np.where(coords[0] == 0, -1.0, 1.0))
+        else:
+            sgn_plus.append(np.ones(coords.shape[1]))
+            sgn_minus.append(np.ones(coords.shape[1]))
+    return nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus
+
+
+def staggered_dirac_matrix(links, mass, *, antiperiodic_time=True):
+    """Dense staggered Dirac matrices ``(batch, V, V)`` from U(1) links.
+
+    ``links``: complex ``(batch, ndim, *lat_shape)`` (layout of
+    ``U1GaugeAction``); real input is interpreted as link ANGLES.
+    """
+    if not jnp.iscomplexobj(links):
+        links = jnp.exp(1j * links)
+    batch = links.shape[0]
+    ndim = links.shape[1]
+    lat_shape = links.shape[2:]
+    V = int(np.prod(lat_shape))
+    u = links.reshape(batch, ndim, V)
+
+    tables = _site_tables(lat_shape, antiperiodic_time)
+    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = tables
+
+    rows = jnp.arange(V)
+    D = jnp.zeros((batch, V, V), dtype=u.dtype)
+    D = D.at[:, rows, rows].add(jnp.asarray(mass, u.dtype))
+    for mu in range(ndim):
+        w_plus = jnp.asarray(0.5 * eta[mu] * sgn_plus[mu], u.dtype)
+        w_minus = jnp.asarray(0.5 * eta[mu] * sgn_minus[mu], u.dtype)
+        # forward hop: + eta(x)/2 * U_mu(x) at (x, x+mu)
+        D = D.at[:, rows, jnp.asarray(nbr_plus[mu])].add(w_plus * u[:, mu])
+        # backward hop: - eta(x)/2 * conj(U_mu(x-mu)) at (x, x-mu)
+        u_behind = u[:, mu][:, jnp.asarray(nbr_minus[mu])]
+        D = D.at[:, rows, jnp.asarray(nbr_minus[mu])].add(
+            -w_minus * jnp.conjugate(u_behind))
+    return D
+
+
+class StaggeredFermionLogDet(Pytree):
+    """Per-sample ``log det D`` of the staggered operator (batched, exact).
+
+    ``n_copies`` multiplies the log-det (number of staggered fields; one
+    staggered field in 2-D describes N_f = 2 continuum flavors).  Plug an
+    instance into ``SchwingerAction.build(logdet_func=...)``.
+    """
+
+    lat_shape: tuple = static()
+    mass: float = static(default=0.1)
+    n_copies: int = static(default=1)
+    antiperiodic_time: bool = static(default=True)
+
+    def __call__(self, cfgs):
+        D = staggered_dirac_matrix(
+            cfgs, self.mass, antiperiodic_time=self.antiperiodic_time)
+        _, logabs = jnp.linalg.slogdet(D)
+        return self.n_copies * logabs
+
+
+def build_schwinger_action(*, beta, lat_shape, mass=0.1, n_copies=1,
+                           antiperiodic_time=True):
+    """A working Schwinger-model action: Wilson U(1) gauge part + exact
+    staggered-fermion log-det (what reference schwinger_action.py:13-41
+    sketches)."""
+    from .actions import SchwingerAction
+
+    return SchwingerAction.build(
+        beta=beta, ndim=len(lat_shape),
+        logdet_func=StaggeredFermionLogDet(
+            lat_shape=tuple(lat_shape), mass=mass, n_copies=n_copies,
+            antiperiodic_time=antiperiodic_time))

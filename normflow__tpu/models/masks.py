@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "EvenOddMask", "AlongAxesEvenOddMask", "DummyMask", "DoubleMask",
+    "Mask", "EvenOddMask", "AlongAxesEvenOddMask", "DummyMask", "DoubleMask",
     "PackedEvenOddMask",
     "GaugeLinksDoubleMask", "ZebraPlanarMask", "MatrixMask",
     "ListPartitioner", "ChunkCatPartitioner", "AlongAxisEvenOddPartitioner",
@@ -40,7 +40,9 @@ def _index_sum_grid(shape, exclude_mu=None):
 
 @dataclasses.dataclass(frozen=True)
 class _MultiplicativeMask:
-    """Base for 0/1 masks applied multiplicatively (reference mask/mask.py:17-42)."""
+    """Base for 0/1 masks applied multiplicatively (reference mask/mask.py:17-42).
+
+    Exported as ``Mask`` for parity with the reference's ABC name."""
 
     shape: tuple
 
@@ -69,6 +71,9 @@ class _MultiplicativeMask:
     def purify(self, x_chnl, channel: int):
         m = self._mask(x_chnl)
         return x_chnl * (m if channel == 0 else (1 - m))
+
+
+Mask = _MultiplicativeMask  # reference ABC name (mask/mask.py:17)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,9 +127,12 @@ class DoubleMask:
     """Invisibility mask composed with an outer mask (reference
     mask/double_mask.py:16-41).
 
-    NOTE: like the reference, the invisible partition is stashed between
-    ``split`` and ``cat``; the pair must be called within one traced
-    function (the coupling forward), which is how couplings use it.
+    Functional redesign: the reference stashes the invisible partition
+    mutably between ``split`` and ``cat`` (double_mask.py:24-33), which is a
+    footgun under ``vmap``/concurrent traces.  Here ``split`` RETURNS the
+    invisible partition as a third element and ``cat`` takes it back --
+    couplings thread any extra ``split`` outputs through to ``cat``
+    unchanged, so the whole pipeline stays pure.
     """
 
     invisibility_mask: Any
@@ -132,19 +140,12 @@ class DoubleMask:
 
     def split(self, x):
         x, x_invisible = self.invisibility_mask.split(x)
-        object.__setattr__(self, "_x_invisible", x_invisible)
-        return self.outer_mask.split(x)
+        x0, x1 = self.outer_mask.split(x)
+        return x0, x1, x_invisible
 
-    def cat(self, x0, x1):
-        stash = getattr(self, "_x_invisible", None)
-        if stash is None:
-            raise RuntimeError(
-                "DoubleMask.cat called without a matching split in the same "
-                "trace -- split/cat must be paired within one traced "
-                "function (as couplings do)")
-        object.__setattr__(self, "_x_invisible", None)  # consume the stash
+    def cat(self, x0, x1, x_invisible):
         x = self.outer_mask.cat(x0, x1)
-        return self.invisibility_mask.cat(x, stash)
+        return self.invisibility_mask.cat(x, x_invisible)
 
     def purify(self, x_chnl, channel, **kwargs):
         return self.invisibility_mask.purify(

@@ -26,6 +26,7 @@ from ..models.couplings import (
 from ..models.spectral import FFTFlow, IPSD, MeanFieldFlow, PSDBlock
 from ..models.gauge import (U1PlaquetteCoupling, U1AngleAction,
                             build_u1_gauge_flow)
+from . import scalar
 
 # Reference-parity aliases (trailing underscore convention)
 Module_ = Flow
@@ -42,6 +43,7 @@ Expit_ = Expit
 Logit_ = Logit
 Pade11_ = Pade11
 Pade22_ = Pade22
+Pade32_ = Pade32
 SgnBiasNet_ = SgnBias
 SplineNet_ = SplineFlow
 UnityDistConvertor_ = UnityDistConvertor

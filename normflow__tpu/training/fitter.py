@@ -53,16 +53,18 @@ class Fitter:
             epochs_run=0,
         )
         self.loss_fn = losses.calc_kl_mean
+        self.grad_estimator = "rep"
         self.optimizer = None
         self.opt_state = None
         self._step_fn = None
         self._eval_fn = None
+        self._has_controls = False
 
     # ------------------------------------------------------------------ #
     def __call__(self, n_epochs=1000, save_every=None, batch_size=64,
                  optimizer_class="adamw", scheduler=None, loss_fn=None,
                  hyperparam=None, checkpoint_dict=None, param_groups=None,
-                 steps_per_call=None):
+                 steps_per_call=None, grad_estimator="rep"):
         """Fit the model (reference _normflowcore.py:151-219).
 
         ``optimizer_class``: an optax GradientTransformation factory
@@ -71,6 +73,12 @@ class Fitter:
         ``step -> lr`` multiplying the base learning rate.
         ``param_groups``: list of ``{'ind': [...], 'hyper': {...}}`` giving
         per-top-level-flow hyperparameter overrides.
+        ``grad_estimator``: ``'rep'`` (plain reparametrization, the
+        reference's estimator) or ``'path'`` (path-gradient /
+        sticking-the-landing: drops the score term by re-evaluating
+        ``log q`` through the inverse flow with stopped parameters --
+        an unbiased, much lower-variance estimator of the reverse-KL
+        gradient near the optimum; costs one extra backward pass).
         """
         self.hyperparam.update(hyperparam or {})
         self.checkpoint_dict.update(checkpoint_dict or {})
@@ -78,6 +86,15 @@ class Fitter:
             self.loss_fn = loss_fn
         if save_every is None:
             save_every = n_epochs
+        self.grad_estimator = grad_estimator
+
+        from ..models.couplings import has_controls, refresh_controls
+        self._has_controls = has_controls(self._model.net_)
+        if self._has_controls:
+            # establish the control leaves (and hence the pytree structure)
+            # BEFORE the optimizer state is built / the step is traced
+            self._model.net_ = refresh_controls(
+                self._model.net_, self._model.next_key(), batch_size)
 
         self.optimizer = self._build_optimizer(
             optimizer_class, scheduler, param_groups)
@@ -161,13 +178,32 @@ class Fitter:
         loss_fn = self.loss_fn
         optimizer = self.optimizer
         sharder = self._model.device_handler.batch_sharder()
+        use_path = self.grad_estimator == "path"
+        has_ctrl = self._has_controls
 
         def step_core(net, opt_state, key, batch_size):
+            if has_ctrl:
+                from ..models.couplings import refresh_controls
+
+                ctrl_key, key = jax.random.split(key)
+                net = refresh_controls(net, ctrl_key, batch_size)
+
             def loss_of(net):
                 x, logr = prior.sample_(key, batch_size)
                 x = sharder(x)
                 y, logj = net.forward(x)
-                logq = logr - logj
+                if use_path:
+                    # Path gradient ("sticking the landing"): log q(y) is
+                    # recomputed through the inverse flow with STOPPED
+                    # parameters, so the gradient flows only through the
+                    # sample path y = f_theta(x) and the score term
+                    # (zero-mean, high-variance) is dropped exactly.
+                    net_sg = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, net)
+                    x_inv, mlogj = net_sg.backward(y)
+                    logq = prior.log_prob(x_inv) + mlogj
+                else:
+                    logq = logr - logj
                 logp = -action(y)
                 loss = loss_fn(logq, logp)
                 return loss, (logq, logp)
@@ -211,8 +247,15 @@ class Fitter:
         action = self._model.action
         sharder = self._model.device_handler.batch_sharder()
 
+        has_ctrl = self._has_controls
+
         @partial(jax.jit, static_argnums=(2,))
         def evaluate(net, key, batch_size):
+            if has_ctrl:
+                from ..models.couplings import refresh_controls
+
+                ctrl_key, key = jax.random.split(key)
+                net = refresh_controls(net, ctrl_key, batch_size)
             x, logr = prior.sample_(key, batch_size)
             x = sharder(x)
             y, logj = net.forward(x)

@@ -93,6 +93,91 @@ def test_fold_key_deterministic():
     assert jnp.all(jax.random.key_data(a) == jax.random.key_data(b))
 
 
+def test_packed_flagship_sharded_matches_single_device():
+    """The FLAGSHIP (zoo.build_phi4_model: PSD/FFT block + packed
+    checkerboard RQ-spline coupling + row-parity feature) must be bitwise
+    transparent under dp sharding -- same seed, same loss trajectory."""
+    from normflow__tpu.zoo import build_phi4_model
+
+    kw = dict(lat_shape=(8, 8), knots=4, hidden=(4,), n_layers=2, seed=3)
+    m1 = build_phi4_model(**kw)
+    h1 = m1.fit(n_epochs=6, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    m2 = build_phi4_model(**kw)
+    m2.device_handler.use_mesh(n_devices=8)
+    m2.device_handler.replicate_params()
+    h2 = m2.fit(n_epochs=6, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-8)
+
+
+def test_packed_flagship_path_gradient_sharded():
+    """Path-gradient training (the round-2 default estimator) on the packed
+    flagship under dp sharding: finite and equal to the unsharded run."""
+    from normflow__tpu.zoo import build_phi4_model
+
+    kw = dict(lat_shape=(8, 8), knots=4, hidden=(4,), n_layers=2, seed=9)
+    m1 = build_phi4_model(**kw)
+    h1 = m1.fit(n_epochs=4, batch_size=32, hyperparam=dict(lr=1e-3),
+                grad_estimator="path",
+                checkpoint_dict=dict(print_stride=None))
+    m2 = build_phi4_model(**kw)
+    m2.device_handler.use_mesh(n_devices=8)
+    m2.device_handler.replicate_params()
+    h2 = m2.fit(n_epochs=4, batch_size=32, hyperparam=dict(lr=1e-3),
+                grad_estimator="path",
+                checkpoint_dict=dict(print_stride=None))
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-8)
+
+
+def test_packed_coupling_dp_sp_matches_single_device():
+    """PackedEvenOddMask's strided split/cat under a dp x sp mesh (lattice
+    axis sharded over 'space'): the loss trajectory must match the
+    unsharded run.  (The FFT/PSD block is excluded: XLA's CPU fft thunk
+    cannot partition a spatially sharded lattice -- tested on the dp mesh
+    above; on TPU it lowers to all-to-alls.)"""
+    from normflow__tpu.models import PackedEvenOddMask
+    from normflow__tpu.models.nets import RowParityFeature
+    from normflow__tpu.nn import (ConvAct, DistConvertor_, ModuleList_,
+                                  RQSplineCoupling_)
+
+    lat = (8, 8)
+    m = 4
+
+    def build(seed):
+        keys = jax.random.split(jax.random.key(seed), 2)
+        nets = tuple(
+            RowParityFeature(net=ConvAct.build(
+                k, 2, 3 * m - 2, kernel_size=3, conv_dim=2,
+                hidden_sizes=(4,), acts=("tanh", None), bias=False))
+            for k in keys)
+        net_ = ModuleList_(flows=(
+            DistConvertor_.build(8, symmetric=True, smooth=True),
+            RQSplineCoupling_.build(
+                nets, mask=PackedEvenOddMask(shape=lat),
+                xlim=(-4.0, 4.0), ylim=(-4.0, 4.0),
+                extrap={"left": "linear", "right": "linear"}),
+        ))
+        prior = nf.prior.NormalPrior.build(shape=lat)
+        action = nf.action.ScalarPhi4Action(kappa=0.67, m_sq=-2.68,
+                                            lambd=0.5)
+        return nf.Model(net_=net_, prior=prior, action=action, seed=seed)
+
+    m1 = build(13)
+    h1 = m1.fit(n_epochs=5, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    m2 = build(13)
+    m2.device_handler.use_mesh(axes={"data": 4, "space": 2})
+    m2.device_handler.replicate_params()
+    h2 = m2.fit(n_epochs=5, batch_size=32, hyperparam=dict(lr=1e-3),
+                checkpoint_dict=dict(print_stride=None))
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
+    # sharded sampling through the packed coupling stays finite
+    y, logq, logp = m2.posterior.sample__(batch_size=32)
+    assert y.shape == (32, *lat)
+    assert np.isfinite(np.asarray(logq)).all()
+
+
 def test_space_sharded_training_matches_single_device():
     """dp x sp mesh (batch + lattice sharding with XLA-inserted halo
     exchange) must match the unsharded loss trajectory."""
