@@ -37,7 +37,7 @@ import numpy as np
 from ..struct import Pytree, static
 
 __all__ = ["StaggeredFermionLogDet", "staggered_dirac_matrix",
-           "build_schwinger_action"]
+           "build_schwinger_action", "SchwingerAngleAction"]
 
 
 def _site_tables(lat_shape, antiperiodic_time=True):
@@ -126,6 +126,45 @@ class StaggeredFermionLogDet(Pytree):
             cfgs, self.mass, antiperiodic_time=self.antiperiodic_time)
         _, logabs = jnp.linalg.slogdet(D)
         return self.n_copies * logabs
+
+
+class SchwingerAngleAction(Pytree):
+    r"""Schwinger-model action on LINK ANGLES:
+
+    .. math::
+        S(\theta) = -\beta \sum_x \cos P(x) - N_c \log\det D[e^{i\theta}]
+
+    Angle-variable counterpart of :func:`build_schwinger_action`, matching
+    the gauge-equivariant flows in ``models.gauge`` (which work in angle
+    variables).  ``theta``: real ``(batch, ndim, *lat_shape)``.
+    """
+
+    beta: float = static(default=1.0)
+    lat_shape: tuple = static(default=())
+    mass: float = static(default=0.1)
+    n_copies: int = static(default=1)
+    antiperiodic_time: bool = static(default=True)
+
+    def __call__(self, theta):
+        return self.action(theta)
+
+    def action(self, theta):
+        from .gauge import U1AngleAction
+
+        gauge = U1AngleAction(beta=self.beta).action(theta)
+        logdet = StaggeredFermionLogDet(
+            lat_shape=self.lat_shape, mass=self.mass,
+            n_copies=self.n_copies,
+            antiperiodic_time=self.antiperiodic_time)(theta)
+        return gauge - logdet
+
+    def calc_topo_charge(self, theta):
+        from .gauge import U1AngleAction
+
+        return U1AngleAction(beta=self.beta).calc_topo_charge(theta)
+
+    def log_prob(self, x, action_logz=0.0):
+        return -self.action(x) - action_logz
 
 
 def build_schwinger_action(*, beta, lat_shape, mass=0.1, n_copies=1,

@@ -32,6 +32,14 @@ def test_u1_gauge_example():
     assert len(model.fit.train_history["loss"]) == 10
 
 
+def test_schwinger_example():
+    from schwinger import main
+
+    model = main(beta=1.5, mass=0.3, lat_shape=(4, 4), n_epochs=10,
+                 batch_size=16, n_cycles=1, knots_len=4, steps_per_call=10)
+    assert len(model.fit.train_history["loss"]) == 10
+
+
 @pytest.mark.slow
 def test_scalar_affine_8x8_integration():
     """The reference's headline 2-D config (examples/scalar_affine.py:14-15):
