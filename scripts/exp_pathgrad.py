@@ -32,6 +32,7 @@ def main():
     p.add_argument("--n_layers", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--knots", type=int, default=8)
+    p.add_argument("--hidden", type=int, nargs="*", default=[16, 16])
     p.add_argument("--tag", default="")
     args = p.parse_args()
 
@@ -41,7 +42,8 @@ def main():
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed,
-                            n_layers=args.n_layers, knots=args.knots)
+                            n_layers=args.n_layers, knots=args.knots,
+                            hidden=tuple(args.hidden))
 
     t0 = time.time()
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
@@ -84,6 +86,8 @@ def main():
         "train_epochs": args.train_epochs,
         "n_layers": args.n_layers,
         "knots": args.knots,
+        "hidden": args.hidden,
+        "batch": args.batch,
         "lr": args.lr,
         "train_time_s": round(train_time, 1),
         "ms_per_step": round(1000 * train_time / max(args.train_epochs, 1), 2),
