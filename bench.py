@@ -103,29 +103,43 @@ def main():
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
-    # Sampling path: fused Pallas spline-coupling kernel (no grads needed).
-    if not args.no_pallas and jax.devices()[0].platform == "tpu":
+    # Sampling path: A/B the XLA vs fused-Pallas coupling backend with
+    # INTERLEAVED timed repetitions (tunnel/host contention drifts on the
+    # minute scale, so back-to-back comparisons lie); keep the winner.
+    def with_backend(backend):
         flows = list(model.net_.flows)
-        flows[2] = flows[2].replace(backend="pallas")
-        model.net_ = model.net_.replace(flows=tuple(flows))
+        flows[2] = flows[2].replace(backend=backend)
+        return model.net_.replace(flows=tuple(flows))
 
-    # -- sampling throughput (scanned: one device program) -------------- #
-    # median of --reps repetitions (the tunnel/host can be contended);
-    # the spread is reported alongside.
+    backends = ["xla"]
+    if not args.no_pallas and jax.devices()[0].platform == "tpu":
+        backends.append("pallas")
+    nets = {b: with_backend(b) for b in backends}
+
     key = jax.random.key(args.seed + 1)
     k1, k2 = jax.random.split(key)
-    logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
-                                        key=k1)  # warmup/compile
-    jax.block_until_ready(logqp)
-    times = []
+    times = {b: [] for b in backends}
+    logqp_by = {}
+    for b in backends:  # warmup/compile both programs
+        model.net_ = nets[b]
+        logqp_by[b] = model.posterior.logqp_stream(
+            args.sample_iters, args.batch, key=k1)
+        jax.block_until_ready(logqp_by[b])
     for _ in range(args.reps):
-        t0 = time.time()
-        logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
-                                             key=k2)
-        jax.block_until_ready(logqp)
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
-    dt_best = float(np.min(times))
+        for b in backends:
+            model.net_ = nets[b]
+            t0 = time.time()
+            logqp_by[b] = model.posterior.logqp_stream(
+                args.sample_iters, args.batch, key=k2)
+            jax.block_until_ready(logqp_by[b])
+            times[b].append(time.time() - t0)
+    med = {b: float(np.median(times[b])) for b in backends}
+    best_backend = min(med, key=med.get)
+    model.net_ = nets[best_backend]
+    logqp = logqp_by[best_backend]
+    dt = med[best_backend]
+    dt_best = float(np.min(times[best_backend]))
+    times = times[best_backend]
     n_per_program = args.sample_iters * args.batch
     samples_per_sec = n_per_program / dt
 
@@ -182,6 +196,8 @@ def main():
         "accept_rate_err": round(accept_err, 4),
         "train_epochs": args.train_epochs,
         "grad_estimator": args.grad_estimator,
+        "sampling_backend": best_backend,
+        "backend_medians_s": {b: round(v, 4) for b, v in med.items()},
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
     }

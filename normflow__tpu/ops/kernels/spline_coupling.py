@@ -119,7 +119,10 @@ def _rqs_core(x, out, *, m, xlo, xw, ylo, yw, left, right, inverse):
 
 
 def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, **cfg):
-    y, logg = _rqs_core(x_ref[:], out_ref[:], **cfg)
+    # out arrives channels-LAST (TB, TS, K3) straight from the conv -- the
+    # channel transpose happens here in registers, never in HBM.
+    out = jnp.transpose(out_ref[:], (0, 2, 1))
+    y, logg = _rqs_core(x_ref[:], out, **cfg)
     y_ref[:] = y
     logg_ref[:] = logg
 
@@ -128,11 +131,12 @@ def _rqs_bwd_kernel(x_ref, out_ref, ybar_ref, loggbar_ref,
                     xbar_ref, outbar_ref, **cfg):
     """Analytic VJP, VMEM-resident: recompute the forward on the tile and
     transpose it via ``jax.vjp`` (trace-time -- lowers to elementwise ops)."""
+    out = jnp.transpose(out_ref[:], (0, 2, 1))
     f = functools.partial(_rqs_core, **cfg)
-    _, vjp = jax.vjp(f, x_ref[:], out_ref[:])
+    _, vjp = jax.vjp(f, x_ref[:], out)
     xbar, outbar = vjp((ybar_ref[:], loggbar_ref[:]))
     xbar_ref[:] = xbar
-    outbar_ref[:] = outbar
+    outbar_ref[:] = jnp.transpose(outbar, (0, 2, 1))
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,10 +155,10 @@ def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
                inverse=inverse)
     vec_spec = pl.BlockSpec((tb, ts), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tb, k3, ts), lambda i, j: (i, 0, j),
+    out_spec = pl.BlockSpec((tb, ts, k3), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
     vec_shape = jax.ShapeDtypeStruct((b, sp), dtype)
-    full_shape = jax.ShapeDtypeStruct((b, k3, sp), dtype)
+    full_shape = jax.ShapeDtypeStruct((b, sp, k3), dtype)
 
     def pallas_fwd(xf, of):
         return pl.pallas_call(
@@ -213,7 +217,7 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
     k3 = out.shape[-1]
 
     xf = x.reshape(b, s)
-    of = jnp.moveaxis(out.reshape(b, s, k3), -1, 1)  # (B, K3, S)
+    of = out.reshape(b, s, k3)  # channels-last; transposed in-kernel
 
     tb = min(batch_tile, b)
     while b % tb:
@@ -223,7 +227,7 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
     if pad:
         mid = 0.5 * (xlim[0] + xlim[1])
         xf = jnp.pad(xf, ((0, 0), (0, pad)), constant_values=mid)
-        of = jnp.pad(of, ((0, 0), (0, 0), (0, pad)))
+        of = jnp.pad(of, ((0, 0), (0, pad), (0, 0)))
     sp = s + pad
 
     op = _make_op(b, sp, k3, tb, ts, tuple(xlim), tuple(ylim), left, right,

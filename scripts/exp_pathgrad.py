@@ -33,6 +33,9 @@ def main():
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--knots", type=int, default=8)
     p.add_argument("--hidden", type=int, nargs="*", default=[16, 16])
+    p.add_argument("--loss", default="kl",
+                   help="'kl' or 'mixed:LAMBDA' (reverse KL + lambda * "
+                        "self-normalized forward KL)")
     p.add_argument("--tag", default="")
     args = p.parse_args()
 
@@ -45,8 +48,18 @@ def main():
                             n_layers=args.n_layers, knots=args.knots,
                             hidden=tuple(args.hidden))
 
+    loss_fn = None
+    if args.loss.startswith("mixed:"):
+        lam = float(args.loss.split(":")[1])
+        from normflow__tpu.training import losses as L
+
+        def loss_fn(logq, logp, lam=lam):
+            return (L.calc_kl_mean(logq, logp)
+                    + lam * L.calc_direct_kl_mean(logq, logp))
+
     t0 = time.time()
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
+              loss_fn=loss_fn,
               hyperparam=dict(lr=args.lr, weight_decay=1e-4),
               scheduler=optax.cosine_decay_schedule(
                   1.0, decay_steps=args.train_epochs, alpha=0.05),
