@@ -108,23 +108,91 @@ def staggered_dirac_matrix(links, mass, *, antiperiodic_time=True):
     return D
 
 
+def _eo_tables(lat_shape, antiperiodic_time=True):
+    """Even/odd-block index tables for the Schur-complement construction."""
+    lat_shape = tuple(lat_shape)
+    V = int(np.prod(lat_shape))
+    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = _site_tables(
+        lat_shape, antiperiodic_time)
+    coords = np.stack(np.meshgrid(
+        *[np.arange(n) for n in lat_shape], indexing="ij"),
+        axis=0).reshape(len(lat_shape), -1)
+    parity = coords.sum(axis=0) % 2
+    even = np.nonzero(parity == 0)[0]
+    pos = np.full(V, -1, dtype=np.int64)  # linear index -> position in block
+    pos[even] = np.arange(even.size)
+    odd = np.nonzero(parity == 1)[0]
+    pos[odd] = np.arange(odd.size)
+    return even, odd, pos, nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus
+
+
+def staggered_eo_hopping(links, *, antiperiodic_time=True):
+    """The even->odd hopping block ``A_eo`` (batch, V/2, V/2): rows are even
+    sites, columns odd sites.  The staggered operator in the even/odd basis
+    is ``[[m I, A_eo], [-A_eo^H, m I]]`` (the hopping is anti-Hermitian and
+    strictly parity-changing)."""
+    if not jnp.iscomplexobj(links):
+        links = jnp.exp(1j * links)
+    batch, ndim = links.shape[:2]
+    lat_shape = links.shape[2:]
+    V = int(np.prod(lat_shape))
+    if V % 2:
+        raise ValueError("even-odd log-det needs an even lattice volume")
+    u = links.reshape(batch, ndim, V)
+    even, odd, pos, nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = \
+        _eo_tables(lat_shape, antiperiodic_time)
+
+    A = jnp.zeros((batch, V // 2, V // 2), dtype=u.dtype)
+    rows = jnp.asarray(pos[even])
+    for mu in range(ndim):
+        w_plus = jnp.asarray((0.5 * eta[mu] * sgn_plus[mu])[even],
+                             u.dtype)
+        w_minus = jnp.asarray((0.5 * eta[mu] * sgn_minus[mu])[even],
+                              u.dtype)
+        cols_p = jnp.asarray(pos[nbr_plus[mu][even]])
+        A = A.at[:, rows, cols_p].add(w_plus * u[:, mu][:, even])
+        cols_m = jnp.asarray(pos[nbr_minus[mu][even]])
+        u_behind = u[:, mu][:, nbr_minus[mu][even]]
+        A = A.at[:, rows, cols_m].add(-w_minus * jnp.conjugate(u_behind))
+    return A
+
+
 class StaggeredFermionLogDet(Pytree):
     """Per-sample ``log det D`` of the staggered operator (batched, exact).
 
     ``n_copies`` multiplies the log-det (number of staggered fields; one
     staggered field in 2-D describes N_f = 2 continuum flavors).  Plug an
     instance into ``SchwingerAction.build(logdet_func=...)``.
+
+    ``method='schur'`` (default) uses the even/odd Schur complement: the
+    hopping is strictly parity-changing, so
+    ``det D = det(m^2 I + A_eo^H A_eo)`` over the half lattice -- a
+    Hermitian POSITIVE-DEFINITE matrix, evaluated by batched Cholesky
+    (~8x fewer FLOPs than LU on the full matrix, MXU-friendly, and real
+    by construction).  ``method='dense'`` keeps the full-matrix
+    ``slogdet`` as the oracle path.
     """
 
     lat_shape: tuple = static()
     mass: float = static(default=0.1)
     n_copies: int = static(default=1)
     antiperiodic_time: bool = static(default=True)
+    method: str = static(default="schur")
 
     def __call__(self, cfgs):
-        D = staggered_dirac_matrix(
-            cfgs, self.mass, antiperiodic_time=self.antiperiodic_time)
-        _, logabs = jnp.linalg.slogdet(D)
+        if self.method == "schur":
+            A = staggered_eo_hopping(
+                cfgs, antiperiodic_time=self.antiperiodic_time)
+            n_half = A.shape[-1]
+            gram = (self.mass**2) * jnp.eye(n_half, dtype=A.dtype) \
+                + jnp.einsum("bji,bjk->bik", jnp.conjugate(A), A)
+            L = jnp.linalg.cholesky(gram)
+            diag = jnp.real(jnp.diagonal(L, axis1=-2, axis2=-1))
+            logabs = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+        else:
+            D = staggered_dirac_matrix(
+                cfgs, self.mass, antiperiodic_time=self.antiperiodic_time)
+            _, logabs = jnp.linalg.slogdet(D)
         return self.n_copies * logabs
 
 

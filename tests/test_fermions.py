@@ -110,6 +110,32 @@ def test_logdet_free_field_value():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_schur_logdet_matches_dense(rng):
+    """Even/odd Schur-complement Cholesky path == full-matrix slogdet."""
+    for lat, apbc in [((4, 4), True), ((4, 4), False), ((2, 6), True),
+                      ((4, 4, 4), True)]:
+        links = _random_links(rng, lat=lat, batch=2)
+        dense = StaggeredFermionLogDet(lat_shape=lat, mass=0.35,
+                                       antiperiodic_time=apbc,
+                                       method="dense")
+        schur = StaggeredFermionLogDet(lat_shape=lat, mass=0.35,
+                                       antiperiodic_time=apbc,
+                                       method="schur")
+        np.testing.assert_allclose(np.asarray(schur(jnp.asarray(links))),
+                                   np.asarray(dense(jnp.asarray(links))),
+                                   rtol=1e-10)
+
+
+def test_schur_logdet_grad_matches_dense(rng):
+    lat = (4, 4)
+    theta = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(1, 2, *lat)))
+    g = {}
+    for method in ("dense", "schur"):
+        ld = StaggeredFermionLogDet(lat_shape=lat, mass=0.3, method=method)
+        g[method] = np.asarray(jax.grad(lambda t: jnp.sum(ld(t)))(theta))
+    np.testing.assert_allclose(g["schur"], g["dense"], rtol=1e-8, atol=1e-10)
+
+
 def test_logdet_accepts_angles(rng):
     lat = (4, 4)
     theta = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(2, 2, *lat)))
