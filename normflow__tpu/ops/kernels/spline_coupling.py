@@ -170,13 +170,23 @@ def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
             interpret=interpret,
         )(xf, of)
 
+    # Backward tiles are half-size: the VJP holds the out tile, its
+    # in-register transpose, AND the linearization intermediates at once --
+    # full-size tiles overflow the 16 MB scoped-VMEM budget on v5e.
+    ts_b = ts // 2 if (ts % 2 == 0 and sp % (ts // 2) == 0 and ts > 128) \
+        else ts
+    vec_spec_b = pl.BlockSpec((tb, ts_b), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)
+    out_spec_b = pl.BlockSpec((tb, ts_b, k3), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
+
     def pallas_bwd(xf, of, ybar, loggbar):
         return pl.pallas_call(
             functools.partial(_rqs_bwd_kernel, **cfg),
             out_shape=(vec_shape, full_shape),
-            grid=(b // tb, sp // ts),
-            in_specs=[vec_spec, out_spec, vec_spec, vec_spec],
-            out_specs=(vec_spec, out_spec),
+            grid=(b // tb, sp // ts_b),
+            in_specs=[vec_spec_b, out_spec_b, vec_spec_b, vec_spec_b],
+            out_specs=(vec_spec_b, out_spec_b),
             interpret=interpret,
         )(xf, of, ybar, loggbar)
 
