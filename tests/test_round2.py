@@ -110,6 +110,27 @@ def test_cntr_coupling_trains_end_to_end():
     assert len(hist["ess"]) >= 1
 
 
+def test_cntr_coupling_snapshot_roundtrip(tmp_path):
+    """Const-wrapped control leaves serialize and restore with snapshots."""
+    from normflow__tpu.training.checkpoint import load_snapshot, save_snapshot
+
+    model = _cntr_model(seed=17)
+    model.fit(n_epochs=5, batch_size=16,
+              checkpoint_dict=dict(print_stride=None))
+    path = str(tmp_path / "cntr.snap")
+    save_snapshot(path, net=model.net_, epoch=5)
+    model2 = _cntr_model(seed=99)
+    net2 = refresh_controls(model2.net_, jax.random.key(0), 16)
+    restored, _, epoch, _ = load_snapshot(path, net=net2)
+    assert epoch == 5
+    np.testing.assert_allclose(
+        np.asarray(restored.control.value),
+        np.asarray(model.net_.control.value), atol=0)
+    a = np.asarray(jax.tree_util.tree_leaves(model.net_)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(restored)[0])
+    np.testing.assert_allclose(a, b, atol=0)
+
+
 def test_cntr_coupling_trains_with_scan_segments():
     model = _cntr_model(seed=11)
     hist = model.fit(n_epochs=20, batch_size=16, steps_per_call=10,
