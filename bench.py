@@ -74,7 +74,7 @@ def bootstrap_ess_err(logqp, n_boot=200, seed=123):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--train_epochs", type=int, default=12000)
+    p.add_argument("--train_epochs", type=int, default=24000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--sample_iters", type=int, default=50)
