@@ -113,7 +113,7 @@ def main():
 
     backends = ["xla"]
     if not args.no_pallas and jax.devices()[0].platform == "tpu":
-        backends.append("pallas")
+        backends += ["pallas", "pallas_reg"]
     nets = {b: with_backend(b) for b in backends}
 
     key = jax.random.key(args.seed + 1)

@@ -212,7 +212,9 @@ class RQSplineCoupling(Coupling):
     extrap: tuple = static(default=())
     knots_x: HashableArray | None = static(default=None)
     knots_y: HashableArray | None = static(default=None)
-    backend: str = static(default="xla")  # 'xla' | 'pallas'
+    # 'xla' | 'pallas' (fused kernel, channel transpose in HBM) |
+    # 'pallas_reg' (fused kernel, channel transpose in registers)
+    backend: str = static(default="xla")
     label: str | None = static(default="rqs_coupling_")
 
     @classmethod
@@ -235,7 +237,7 @@ class RQSplineCoupling(Coupling):
 
     def _can_fuse(self):
         e = dict(self.extrap)
-        return (self.backend == "pallas"
+        return (self.backend in ("pallas", "pallas_reg")
                 and self.knots_x is None and self.knots_y is None
                 and e.get("left") in (None, "linear")
                 and e.get("right") in (None, "linear"))
@@ -248,7 +250,8 @@ class RQSplineCoupling(Coupling):
             e = dict(self.extrap)
             fx, logg = rqs_transform_fused(
                 x_active, out, xlim=self.xlim, ylim=self.ylim,
-                left=e.get("left"), right=e.get("right"), inverse=inverse)
+                left=e.get("left"), right=e.get("right"), inverse=inverse,
+                channels_last=(self.backend == "pallas_reg"))
         else:
             kx, ky, kd = self.make_knots(out)
             fx, g = sp.rqs(x_active, kx, ky, kd, inverse=inverse)

@@ -118,47 +118,63 @@ def _rqs_core(x, out, *, m, xlo, xw, ylo, yw, left, right, inverse):
     return x0 + dx * theta, -jnp.log(grad_of(theta))
 
 
-def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, **cfg):
-    # out arrives channels-LAST (TB, TS, K3) straight from the conv -- the
-    # channel transpose happens here in registers, never in HBM.
-    out = jnp.transpose(out_ref[:], (0, 2, 1))
+def _rqs_kernel(x_ref, out_ref, y_ref, logg_ref, *, channels_last, **cfg):
+    # channels_last: out arrives (TB, TS, K3) straight from the conv and the
+    # channel transpose happens here in registers, never in HBM.  Otherwise
+    # out was pre-transposed to (TB, K3, TS) by XLA.
+    out = out_ref[:]
+    if channels_last:
+        out = jnp.transpose(out, (0, 2, 1))
     y, logg = _rqs_core(x_ref[:], out, **cfg)
     y_ref[:] = y
     logg_ref[:] = logg
 
 
 def _rqs_bwd_kernel(x_ref, out_ref, ybar_ref, loggbar_ref,
-                    xbar_ref, outbar_ref, **cfg):
+                    xbar_ref, outbar_ref, *, channels_last, **cfg):
     """Analytic VJP, VMEM-resident: recompute the forward on the tile and
     transpose it via ``jax.vjp`` (trace-time -- lowers to elementwise ops)."""
-    out = jnp.transpose(out_ref[:], (0, 2, 1))
+    out = out_ref[:]
+    if channels_last:
+        out = jnp.transpose(out, (0, 2, 1))
     f = functools.partial(_rqs_core, **cfg)
     _, vjp = jax.vjp(f, x_ref[:], out)
     xbar, outbar = vjp((ybar_ref[:], loggbar_ref[:]))
     xbar_ref[:] = xbar
-    outbar_ref[:] = jnp.transpose(outbar, (0, 2, 1))
+    outbar_ref[:] = jnp.transpose(outbar, (0, 2, 1)) if channels_last \
+        else outbar
 
 
 @functools.lru_cache(maxsize=None)
 def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
-             dtype_name):
+             dtype_name, channels_last):
     """Build (and cache) the custom-VJP fused op for one static config.
 
     Forward AND backward are Pallas kernels; the backward recomputes the
     tile forward and transposes it in-register (residuals are just the
     inputs), so training never materializes knot intermediates in HBM.
+
+    ``channels_last``: the kernels consume the conv's (B, S, K3) layout
+    directly and transpose in registers; otherwise XLA pre-transposes the
+    net output to (B, K3, S) in HBM and the kernels read lane-aligned
+    channel slices.
     """
     dtype = jnp.dtype(dtype_name)
     m = (k3 + 2) // 3
     cfg = dict(m=m, xlo=xlim[0], xw=xlim[1] - xlim[0],
                ylo=ylim[0], yw=ylim[1] - ylim[0], left=left, right=right,
-               inverse=inverse)
+               inverse=inverse, channels_last=channels_last)
     vec_spec = pl.BlockSpec((tb, ts), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tb, ts, k3), lambda i, j: (i, j, 0),
-                            memory_space=pltpu.VMEM)
+    if channels_last:
+        out_spec = pl.BlockSpec((tb, ts, k3), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        full_shape = jax.ShapeDtypeStruct((b, sp, k3), dtype)
+    else:
+        out_spec = pl.BlockSpec((tb, k3, ts), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        full_shape = jax.ShapeDtypeStruct((b, k3, sp), dtype)
     vec_shape = jax.ShapeDtypeStruct((b, sp), dtype)
-    full_shape = jax.ShapeDtypeStruct((b, sp, k3), dtype)
 
     def pallas_fwd(xf, of):
         return pl.pallas_call(
@@ -177,8 +193,12 @@ def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
         else ts
     vec_spec_b = pl.BlockSpec((tb, ts_b), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
-    out_spec_b = pl.BlockSpec((tb, ts_b, k3), lambda i, j: (i, j, 0),
-                              memory_space=pltpu.VMEM)
+    if channels_last:
+        out_spec_b = pl.BlockSpec((tb, ts_b, k3), lambda i, j: (i, j, 0),
+                                  memory_space=pltpu.VMEM)
+    else:
+        out_spec_b = pl.BlockSpec((tb, k3, ts_b), lambda i, j: (i, 0, j),
+                                  memory_space=pltpu.VMEM)
 
     def pallas_bwd(xf, of, ybar, loggbar):
         return pl.pallas_call(
@@ -209,10 +229,11 @@ def _make_op(b, sp, k3, tb, ts, xlim, ylim, left, right, inverse, interpret,
 @functools.partial(jax.jit,
                    static_argnames=("xlim", "ylim", "left", "right",
                                     "inverse", "batch_tile", "site_tile",
-                                    "interpret"))
+                                    "interpret", "channels_last"))
 def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
                         left=None, right=None, inverse=False,
-                        batch_tile=8, site_tile=512, interpret=False):
+                        batch_tile=8, site_tile=512, interpret=False,
+                        channels_last=False):
     """Apply a per-site RQ spline parameterized by net output ``out``.
 
     ``x``: (B, *lat) active field; ``out``: (B, *lat, 3m-2) net output
@@ -227,7 +248,10 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
     k3 = out.shape[-1]
 
     xf = x.reshape(b, s)
-    of = out.reshape(b, s, k3)  # channels-last; transposed in-kernel
+    if channels_last:
+        of = out.reshape(b, s, k3)  # transposed in-kernel registers
+    else:
+        of = jnp.moveaxis(out.reshape(b, s, k3), -1, 1)  # (B, K3, S) in HBM
 
     tb = min(batch_tile, b)
     while b % tb:
@@ -237,11 +261,14 @@ def rqs_transform_fused(x, out, *, xlim=(0.0, 1.0), ylim=(0.0, 1.0),
     if pad:
         mid = 0.5 * (xlim[0] + xlim[1])
         xf = jnp.pad(xf, ((0, 0), (0, pad)), constant_values=mid)
-        of = jnp.pad(of, ((0, 0), (0, pad), (0, 0)))
+        if channels_last:
+            of = jnp.pad(of, ((0, 0), (0, pad), (0, 0)))
+        else:
+            of = jnp.pad(of, ((0, 0), (0, 0), (0, pad)))
     sp = s + pad
 
     op = _make_op(b, sp, k3, tb, ts, tuple(xlim), tuple(ylim), left, right,
-                  inverse, interpret, jnp.dtype(x.dtype).name)
+                  inverse, interpret, jnp.dtype(x.dtype).name, channels_last)
     y, logg = op(xf, of)
 
     if pad:

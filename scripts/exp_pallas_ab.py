@@ -49,9 +49,9 @@ def bench_train(backend, n_steps=100):
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model(lat_shape=(32, 32), seed=0)
-    if backend == "pallas":
+    if backend != "xla":
         flows = list(model.net_.flows)
-        flows[2] = flows[2].replace(backend="pallas")
+        flows[2] = flows[2].replace(backend=backend)
         model.net_ = model.net_.replace(flows=tuple(flows))
 
     fit = model.fit
@@ -94,8 +94,8 @@ def main():
 
     out = {"platform": jax.devices()[0].platform}
     if args.what in ("train", "all"):
-        out["train_ms_xla"] = round(bench_train("xla"), 2)
-        out["train_ms_pallas"] = round(bench_train("pallas"), 2)
+        for b in ("xla", "pallas", "pallas_reg"):
+            out[f"train_ms_{b}"] = round(bench_train(b), 2)
     if args.what in ("phi4", "all"):
         for batch in (512, 1024):
             fx, gx = bench_phi4("xla", batch=batch)

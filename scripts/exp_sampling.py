@@ -48,7 +48,7 @@ def main():
         from __graft_entry__ import _flagship_model
 
         model = _flagship_model(lat_shape=(args.lat, args.lat), seed=0)
-        for backend in ["xla", "pallas"]:
+        for backend in ["xla", "pallas", "pallas_reg"]:
             if backend == "pallas" and jax.devices()[0].platform != "tpu":
                 continue
             flows = list(model.net_.flows)

@@ -22,6 +22,38 @@ def test_phi4_kernel_matches_xla(rng, lat):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
 
 
+@pytest.mark.parametrize("channels_last", [False, True])
+def test_rqs_fused_layouts_agree(rng, channels_last):
+    """Both kernel layouts (HBM-transposed and register-transposed) match
+    the XLA reference, including gradients."""
+    m, b, lat = 12, 4, (8, 8)
+    x = jnp.asarray(rng.standard_normal((b, *lat)), jnp.float32)
+    out = jnp.asarray(rng.standard_normal((b, *lat, 3 * m - 2)), jnp.float32)
+    kw = dict(xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), left="linear",
+              right="linear", interpret=True, site_tile=32,
+              channels_last=channels_last)
+    got_y, got_logg = rqs_transform_fused(x, out, **kw)
+    kx, ky, kd = _knots_from_net_out(
+        out, xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), xwidth=6.0, ywidth=6.0,
+        fixed_x=None, fixed_y=None,
+        extrap=(("left", "linear"), ("right", "linear")))
+    want_y, want_g = sp.rqs(x, kx, ky, kd, inverse=False)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               atol=1e-4)
+    g1 = jax.grad(lambda x, o: jnp.sum(rqs_transform_fused(x, o, **kw)[0]),
+                  argnums=(0, 1))(x, out)
+    g2 = jax.grad(lambda x, o: jnp.sum(
+        sp.rqs(x, *_knots_from_net_out(
+            o, xlim=(-3.0, 3.0), ylim=(-3.0, 3.0), xwidth=6.0, ywidth=6.0,
+            fixed_x=None, fixed_y=None,
+            extrap=(("left", "linear"), ("right", "linear"))),
+            inverse=False)[0]), argnums=(0, 1))(x, out)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=2e-3)
+
+
 @pytest.mark.parametrize("inverse", [False, True])
 @pytest.mark.parametrize("extrap", [(None, None), ("linear", "linear")])
 def test_rqs_fused_matches_xla(rng, inverse, extrap):
