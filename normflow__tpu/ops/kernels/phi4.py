@@ -26,7 +26,14 @@ def _phi4_kernel(x_ref, o_ref, *, w0, w2, w4, nd):
         for mu in range(1, nd + 1):
             neigh = neigh + pltpu.roll(x, 1, mu)
         acc = acc - w0 * x * neigh
-    o_ref[:] = jnp.sum(acc, axis=tuple(range(1, nd + 1)))[:, None]
+    # Reduce trailing lattice axes one at a time and keep the batch axis
+    # 2-D throughout: a full reduce to (TB,) followed by a [:, None]
+    # reshape crashes Mosaic's vector-layout inference (1-D -> 2-D
+    # reshape, observed on libtpu 2026-08: ``inferReshape`` check failure).
+    red = acc
+    for ax in range(nd, 1, -1):
+        red = jnp.sum(red, axis=ax)
+    o_ref[:] = jnp.sum(red, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))

@@ -310,10 +310,14 @@ class Fitter:
                     self.train_batch_size, seg)
                 model.net_ = net
             epoch += seg
+            # ONE bulk device->host transfer per segment.  Iterating the
+            # device array (`float(l) for l in losses`) costs a separate
+            # ~50 ms round trip PER ELEMENT on remote/tunneled devices and
+            # silently dominated the epoch loop (~10x the compute time).
+            losses_np = np.atleast_1d(np.asarray(jax.device_get(losses)))
             if model.device_handler.rank == 0:
-                self.train_history["loss"].extend(
-                    float(l) for l in jnp.atleast_1d(jnp.asarray(losses)))
-            self.checkpoint(epoch, jnp.asarray(losses)[-1], save_every)
+                self.train_history["loss"].extend(losses_np.tolist())
+            self.checkpoint(epoch, losses_np[-1], save_every)
         t2 = time.time()
         if n_epochs > 0 and model.device_handler.rank == 0:
             print(f"({jax.devices()[0].platform}) Time = {t2 - t1:.3g} sec.")

@@ -96,12 +96,16 @@ def main():
     if args.what in ("train", "all"):
         for b in ("xla", "pallas", "pallas_reg"):
             out[f"train_ms_{b}"] = round(bench_train(b), 2)
+            print(json.dumps({f"train_ms_{b}": out[f"train_ms_{b}"]}),
+                  flush=True)
     if args.what in ("phi4", "all"):
         for batch in (512, 1024):
-            fx, gx = bench_phi4("xla", batch=batch)
-            fp, gp = bench_phi4("pallas", batch=batch)
-            out[f"phi4_b{batch}_us_xla"] = [round(fx, 1), round(gx, 1)]
-            out[f"phi4_b{batch}_us_pallas"] = [round(fp, 1), round(gp, 1)]
+            for b in ("xla", "pallas"):
+                f_, g_ = bench_phi4(b, batch=batch)
+                out[f"phi4_b{batch}_us_{b}"] = [round(f_, 1), round(g_, 1)]
+                print(json.dumps(
+                    {f"phi4_b{batch}_us_{b}": out[f"phi4_b{batch}_us_{b}"]}),
+                    flush=True)
     print(json.dumps(out))
 
 
