@@ -22,23 +22,34 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def time_scanned(fn, *args, n_steps=50, reps=3):
-    """Time fn scanned n_steps times in one program; return s/step."""
+def time_scanned(fn, x, n_steps=50, reps=3):
+    """Time ``fn(x)`` scanned n_steps times in one program; return s/step.
+
+    The carry perturbs the input by a negligible amount and is derived from
+    the output, so every iteration genuinely depends on the previous one --
+    otherwise XLA hoists the loop-invariant computation out of the scan and
+    the "benchmark" times an empty loop (observed: 0.4 us/step for a
+    batch-512 32x32 action, i.e. nothing ran).
+    """
 
     @jax.jit
-    def scanned(*a):
+    def scanned(x):
         def body(c, _):
-            return c, fn(*a)
+            out = fn(x + c)
+            lead = out[0] if isinstance(out, tuple) else out
+            c2 = 1e-30 * jnp.sum(lead).astype(x.dtype)
+            return c2, ()
 
-        _, out = jax.lax.scan(body, 0, None, length=n_steps)
-        return out
+        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                            length=n_steps)
+        return c
 
-    out = scanned(*args)
+    out = scanned(x)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        jax.block_until_ready(scanned(*args))
+        jax.block_until_ready(scanned(x))
         best = min(best, time.time() - t0)
     return best / n_steps
 

@@ -22,6 +22,21 @@ def test_phi4_kernel_matches_xla(rng, lat):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5)
 
 
+@pytest.mark.parametrize("lat", [(16,), (8, 8), (4, 4, 4)])
+def test_phi4_kernel_gradient_matches_xla(rng, lat):
+    """The analytic custom-VJP backward kernel vs jax.grad of the XLA path."""
+    act = ScalarPhi4Action(kappa=0.7, m_sq=-2.0, lambd=0.5)
+    x = jnp.asarray(rng.standard_normal((8, *lat)), jnp.float32)
+    w0, w2, w4 = act.get_coef(len(lat))
+    # weight each sample differently so the per-sample cotangent is exercised
+    wts = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    got = jax.grad(lambda x: jnp.sum(
+        wts * phi4_action_pallas(x, w0, w2, w4, interpret=True)))(x)
+    want = jax.grad(lambda x: jnp.sum(wts * act.action(x)))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("channels_last", [False, True])
 def test_rqs_fused_layouts_agree(rng, channels_last):
     """Both kernel layouts (HBM-transposed and register-transposed) match
