@@ -23,35 +23,46 @@ sys.path.insert(0, ".")
 
 
 def time_scanned(fn, x, n_steps=50, reps=3):
-    """Time ``fn(x)`` scanned n_steps times in one program; return s/step.
+    """Time ``fn(x)`` in a scanned program; return s/step.
 
-    The carry perturbs the input by a negligible amount and is derived from
-    the output, so every iteration genuinely depends on the previous one --
-    otherwise XLA hoists the loop-invariant computation out of the scan and
-    the "benchmark" times an empty loop (observed: 0.4 us/step for a
-    batch-512 32x32 action, i.e. nothing ran).
+    Two defenses against wrong-by-construction readings:
+
+    * the carry perturbs the input by a negligible amount and is derived
+      from the output, so every iteration genuinely depends on the previous
+      one -- otherwise XLA hoists the loop-invariant body out of the scan
+      and the "benchmark" times an empty loop (observed: 0.4 us/step for a
+      batch-512 32x32 action, i.e. nothing ran);
+    * the per-step time is the SLOPE between an n-step and a 4n-step
+      program, which cancels the constant per-dispatch tunnel overhead
+      (~1-50 ms) that would otherwise swamp micro-kernels.
     """
 
-    @jax.jit
-    def scanned(x):
-        def body(c, _):
-            out = fn(x + c)
-            lead = out[0] if isinstance(out, tuple) else out
-            c2 = 1e-30 * jnp.sum(lead).astype(x.dtype)
-            return c2, ()
+    def build(length):
+        @jax.jit
+        def scanned(x):
+            def body(c, _):
+                out = fn(x + c)
+                lead = out[0] if isinstance(out, tuple) else out
+                c2 = 1e-30 * jnp.sum(lead).astype(x.dtype)
+                return c2, ()
 
-        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
-                            length=n_steps)
-        return c
+            c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                                length=length)
+            return c
 
-    out = scanned(x)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(scanned(x))
-        best = min(best, time.time() - t0)
-    return best / n_steps
+        return scanned
+
+    walls = {}
+    for length in (n_steps, 4 * n_steps):
+        scanned = build(length)
+        jax.block_until_ready(scanned(x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            jax.block_until_ready(scanned(x))
+            best = min(best, time.time() - t0)
+        walls[length] = best
+    return (walls[4 * n_steps] - walls[n_steps]) / (3 * n_steps)
 
 
 def bench_train(backend, n_steps=100):
