@@ -33,6 +33,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--tag", default="swa")
+    p.add_argument("--probe_every", type=int, default=0,
+                   help="if >0, measure ESS of the current params every N "
+                        "segments (small stream) to localize instabilities")
+    p.add_argument("--clip", type=float, default=0.0,
+                   help="if >0, clip the global gradient norm")
     args = p.parse_args()
 
     import optax
@@ -47,9 +52,14 @@ def main():
     sched = optax.cosine_decay_schedule(
         1.0, decay_steps=args.train_epochs, alpha=0.05)
     fit.optimizer = fit._build_optimizer("adamw", sched, None)
+    if args.clip > 0:
+        fit.optimizer = optax.chain(
+            optax.clip_by_global_norm(args.clip), fit.optimizer)
     fit.opt_state = fit.optimizer.init(model.net_)
     fit._make_step_fn()
     multi = fit._multi_step_fn
+
+    from normflow__tpu.training.losses import calc_ess
 
     n_segs = args.train_epochs // args.seg
     tail_from = int(np.floor((1.0 - args.swa_frac) * n_segs))
@@ -62,10 +72,13 @@ def main():
     ema = net
     tail = None
     n_tail = 0
+    all_losses = []
     t0 = time.time()
     for s in range(n_segs):
         net, fit.opt_state, losses = multi(
             net, fit.opt_state, model.next_key(), args.train_batch, args.seg)
+        losses = np.asarray(jax.device_get(losses))
+        all_losses.append(losses)
         ema = axpy(w_seg, ema, 1.0 - w_seg, net)
         if s >= tail_from:
             if tail is None:
@@ -74,10 +87,22 @@ def main():
                 tail = axpy(n_tail / (n_tail + 1), tail,
                             1.0 / (n_tail + 1), net)
             n_tail += 1
+        if args.probe_every and (s + 1) % args.probe_every == 0:
+            model.net_ = net
+            lqp = model.posterior.logqp_stream(
+                5, args.batch, key=jax.random.key(1000 + s))
+            print(json.dumps({
+                "seg": s + 1, "epoch": (s + 1) * args.seg,
+                "loss_mean": round(float(losses.mean()), 4),
+                "loss_last": round(float(losses[-1]), 4),
+                "loss_max": round(float(losses.max()), 4),
+                "nan_steps": int(np.sum(~np.isfinite(losses))),
+                "probe_ess": round(float(calc_ess(lqp, 0.0)), 4),
+            }), flush=True)
     jax.block_until_ready(jax.tree_util.tree_leaves(net)[0])
     train_time = time.time() - t0
+    np.save(f"/tmp/losses_{args.tag}.npy", np.concatenate(all_losses))
 
-    from normflow__tpu.training.losses import calc_ess
     from normflow__tpu.mcmc import estimate_accept_rate
 
     key = jax.random.key(args.seed + 1)

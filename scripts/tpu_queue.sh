@@ -1,0 +1,49 @@
+#!/bin/bash
+# Serial TPU job queue for the tunneled single-chip environment.
+#
+# Only ONE process may own the tunneled chip; a client racing a dying
+# client's teardown hangs FOREVER at backend init.  So: run jobs strictly
+# serially, watchdog the init phase (kill + quiet period + retry), and
+# leave 75 s between jobs for the tunnel teardown to settle.
+#
+# Usage:  scripts/tpu_queue.sh jobs.txt
+#   where jobs.txt has one job per line:  <tag> <command...>
+# Logs land in /tmp/job_<tag>.log; JSON result lines are echoed on stdout.
+
+set -u
+cd "$(dirname "$0")/.."
+
+run_with_retry() {
+  local tag="$1"; shift
+  for attempt in 1 2 3 4 5; do
+    local log="/tmp/job_${tag}.log"
+    python -u "$@" > "$log" 2>&1 &
+    local pid=$!
+    local ok=0
+    # watchdog: the axon platform banner appears once backend init succeeds
+    for i in $(seq 1 48); do
+      sleep 5
+      if ! kill -0 "$pid" 2>/dev/null; then ok=2; break; fi
+      if grep -q "Platform 'axon' is experimental\|Not saving model snapshots\|^{" "$log"; then ok=1; break; fi
+    done
+    if [ $ok -eq 0 ]; then
+      echo "[$tag] attempt $attempt stuck at init; retrying" >&2
+      kill "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; sleep 75; continue
+    fi
+    wait "$pid"
+    grep "^{" "$log"
+    return 0
+  done
+  echo "[$tag] FAILED after retries" >&2
+  return 1
+}
+
+first=1
+while read -r tag cmd; do
+  [ -z "${tag:-}" ] && continue
+  case "$tag" in \#*) continue ;; esac
+  [ $first -eq 0 ] && sleep 75
+  first=0
+  run_with_retry "$tag" $cmd
+done < "$1"
+echo QUEUE_DONE
