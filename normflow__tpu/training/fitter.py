@@ -64,7 +64,8 @@ class Fitter:
     def __call__(self, n_epochs=1000, save_every=None, batch_size=64,
                  optimizer_class="adamw", scheduler=None, loss_fn=None,
                  hyperparam=None, checkpoint_dict=None, param_groups=None,
-                 steps_per_call=None, grad_estimator="rep"):
+                 steps_per_call=None, grad_estimator="rep",
+                 clip_grad_norm=None):
         """Fit the model (reference _normflowcore.py:151-219).
 
         ``optimizer_class``: an optax GradientTransformation factory
@@ -79,6 +80,10 @@ class Fitter:
         ``log q`` through the inverse flow with stopped parameters --
         an unbiased, much lower-variance estimator of the reverse-KL
         gradient near the optimum; costs one extra backward pass).
+        ``clip_grad_norm``: if set, clip the global gradient norm (over
+        trainable leaves) to this value before the optimizer update --
+        recommended for long, high-lr runs where a single outlier batch
+        can otherwise blow up the Adam second moments.
         """
         self.hyperparam.update(hyperparam or {})
         self.checkpoint_dict.update(checkpoint_dict or {})
@@ -98,6 +103,9 @@ class Fitter:
 
         self.optimizer = self._build_optimizer(
             optimizer_class, scheduler, param_groups)
+        if clip_grad_norm is not None:
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(clip_grad_norm), self.optimizer)
         # mask out non-trainable leaves: Frozen sub-flows AND Const-wrapped
         # arrays (no updates, no weight decay for either)
         from ..models.core import trainable_mask as frozen_mask
@@ -213,8 +221,14 @@ class Fitter:
             updates, new_opt = optimizer.update(grads, opt_state, net)
             new_net = optax.apply_updates(net, updates)
             # NaN guard (reference _normflowcore.py:289-292): keep the old
-            # params AND optimizer state on divergent steps.
+            # params AND optimizer state on divergent steps.  Checking the
+            # loss alone is NOT enough: a step can have a finite loss but
+            # non-finite gradients (observed at 32x32 with lr 3e-3 around
+            # epoch 7k), which poisons the params and makes EVERY later
+            # loss NaN -- so require every update leaf finite too.
             ok = jnp.isfinite(loss)
+            for u in jax.tree_util.tree_leaves(updates):
+                ok = ok & jnp.all(jnp.isfinite(u))
             sel = lambda old, new: jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, b, a), old, new)
             return sel(net, new_net), sel(opt_state, new_opt), loss, logq - logp

@@ -151,6 +151,40 @@ def test_nan_guard_keeps_params():
     assert all(bool(jnp.all(jnp.isfinite(a))) for a in after)
 
 
+def test_nan_guard_catches_nonfinite_grads_with_finite_loss():
+    """A step whose loss is finite but whose gradient is not must be a
+    no-op (observed failure mode: |grad| -> inf poisons the params, and
+    every later loss is NaN even though THIS loss was finite)."""
+    from normflow__tpu.models.elementwise import Scale
+
+    class EvilAction(nf.action.ScalarPhi4Action):
+        def action(self, cfgs):
+            # value sqrt(0) = 0 is finite; the gradient is
+            # d/du sqrt(u)|_0 * 0 = inf * 0 = NaN through the params
+            return jnp.sqrt(jnp.sum(cfgs, axis=1) * 0.0)
+
+    net = nf.nn.ModuleList_(flows=(Scale.build(),))
+    model = nf.Model(net_=net, prior=nf.prior.NormalPrior.build(shape=(1,)),
+                     action=EvilAction(), seed=3)
+    before = jax.tree_util.tree_leaves(model.net_)
+    model.fit(n_epochs=3, batch_size=8, hyperparam=dict(lr=0.1),
+              checkpoint_dict=dict(print_stride=None))
+    after = jax.tree_util.tree_leaves(model.net_)
+    assert all(bool(jnp.all(jnp.isfinite(a))) for a in after)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_clip_grad_norm_trains():
+    model = _zerodim_model()
+    hist = model.fit(n_epochs=200, batch_size=128,
+                     hyperparam=dict(lr=0.01, weight_decay=0.0),
+                     clip_grad_norm=1.0,
+                     checkpoint_dict=dict(print_stride=None))
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
 def test_backward_sanitychecker_api():
     model = _zerodim_model()
     (x, y, x_hat), (logj, log0_hat) = nf.backward_sanitychecker(
