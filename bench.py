@@ -4,7 +4,8 @@ Protocol (fully seeded -- two consecutive runs agree within the quoted
 error bars):
  1. build the flagship 32x32 RQ-spline-coupling flow (BASELINE.json config 3);
  2. train for --train_epochs of reverse-KL (path-gradient estimator, fixed
-    seed, one jitted scanned step);
+    seed, one jitted scanned step, global grad-norm clip 1.0 -- the round-2
+    48k-epoch study showed unclipped runs can blow up late in training);
  3. measure raw sampling throughput (scanned sampling program, median of
     --reps timed repetitions; spread reported);
  4. ESS fraction from the same logqp stream, with a bootstrap error bar;
@@ -100,6 +101,7 @@ def main():
                   1.0, decay_steps=args.train_epochs, alpha=0.05),
               steps_per_call=args.steps_per_call,
               grad_estimator=args.grad_estimator,
+              clip_grad_norm=1.0,
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
