@@ -32,6 +32,9 @@ def main():
     p.add_argument("--n_layers", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--knots", type=int, default=8)
+    p.add_argument("--dc_knots", type=int, default=16)
+    p.add_argument("--clip", type=float, default=0.0,
+                   help="if >0, clip the global gradient norm")
     p.add_argument("--hidden", type=int, nargs="*", default=[16, 16])
     p.add_argument("--loss", default="kl",
                    help="'kl' or 'mixed:LAMBDA' (reverse KL + lambda * "
@@ -42,11 +45,12 @@ def main():
     import optax
 
     sys.path.insert(0, ".")
-    from __graft_entry__ import _flagship_model
+    from normflow__tpu.zoo import build_phi4_model
 
-    model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed,
-                            n_layers=args.n_layers, knots=args.knots,
-                            hidden=tuple(args.hidden))
+    model = build_phi4_model((args.lat, args.lat), seed=args.seed,
+                             n_layers=args.n_layers, knots=args.knots,
+                             dc_knots=args.dc_knots,
+                             hidden=tuple(args.hidden))
 
     loss_fn = None
     if args.loss.startswith("mixed:"):
@@ -65,14 +69,11 @@ def main():
                   1.0, decay_steps=args.train_epochs, alpha=0.05),
               steps_per_call=args.steps_per_call,
               grad_estimator=args.grad_estimator,
+              clip_grad_norm=args.clip if args.clip > 0 else None,
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
-    if jax.devices()[0].platform == "tpu":
-        flows = list(model.net_.flows)
-        flows[2] = flows[2].replace(backend="pallas")
-        model.net_ = model.net_.replace(flows=tuple(flows))
-
+    # sampling keeps the XLA backend (the round-2 A/B winner at knots=12)
     key = jax.random.key(args.seed + 1)
     k1, k2 = jax.random.split(key)
     logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
@@ -99,6 +100,8 @@ def main():
         "train_epochs": args.train_epochs,
         "n_layers": args.n_layers,
         "knots": args.knots,
+        "dc_knots": args.dc_knots,
+        "clip": args.clip,
         "hidden": args.hidden,
         "batch": args.batch,
         "lr": args.lr,
