@@ -136,8 +136,12 @@ def staggered_eo_hopping(links, *, antiperiodic_time=True):
     batch, ndim = links.shape[:2]
     lat_shape = links.shape[2:]
     V = int(np.prod(lat_shape))
-    if V % 2:
-        raise ValueError("even-odd log-det needs an even lattice volume")
+    if any(n % 2 for n in lat_shape):
+        # an odd extent makes the periodic wrap connect SAME-parity sites,
+        # so the hopping is no longer strictly parity-changing and the
+        # even/odd Schur identity silently breaks -- require all-even.
+        raise ValueError("even-odd log-det needs every lattice extent even; "
+                         f"got {lat_shape} (use method='dense')")
     u = links.reshape(batch, ndim, V)
     even, odd, pos, nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = \
         _eo_tables(lat_shape, antiperiodic_time)

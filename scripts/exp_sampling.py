@@ -49,7 +49,7 @@ def main():
 
         model = _flagship_model(lat_shape=(args.lat, args.lat), seed=0)
         for backend in ["xla", "pallas", "pallas_reg"]:
-            if backend == "pallas" and jax.devices()[0].platform != "tpu":
+            if backend != "xla" and jax.devices()[0].platform != "tpu":
                 continue
             flows = list(model.net_.flows)
             flows[2] = flows[2].replace(backend=backend)

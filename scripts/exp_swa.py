@@ -61,6 +61,10 @@ def main():
 
     from normflow__tpu.training.losses import calc_ess
 
+    if args.train_epochs % args.seg:
+        raise SystemExit("--train_epochs must be a multiple of --seg "
+                         "(otherwise the cosine schedule endpoint and the "
+                         "reported epoch count would not match what ran)")
     n_segs = args.train_epochs // args.seg
     tail_from = int(np.floor((1.0 - args.swa_frac) * n_segs))
     w_seg = args.ema_decay ** args.seg

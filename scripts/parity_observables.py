@@ -34,27 +34,36 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 
 
-def binned_stats(x, n_bins=20):
-    """Mean and binned standard error of a chain-ordered 1-D series."""
-    x = np.asarray(x, float)
-    n = (len(x) // n_bins) * n_bins
-    bins = x[:n].reshape(n_bins, -1).mean(axis=1)
-    return float(x.mean()), float(bins.std(ddof=1) / np.sqrt(n_bins))
+def observables(samples, n_bins=20):
+    """samples: (n_configs, *lat) chain-ordered array -> dict of (val, err).
 
-
-def observables(samples):
-    """samples: (n_configs, *lat) chain-ordered array -> dict of (val, err)."""
+    Errors are delete-one-bin jackknife over chain-ordered bins (bins
+    absorb autocorrelation; jackknife handles the nonlinear chi directly,
+    including the m^2 / |m| correlation that naive quadrature ignores)."""
     samples = np.asarray(samples, float)
     v = float(np.prod(samples.shape[1:]))
-    phi2 = (samples**2).mean(axis=tuple(range(1, samples.ndim)))
-    m = samples.mean(axis=tuple(range(1, samples.ndim)))
-    phi2_val, phi2_err = binned_stats(phi2)
-    m2_val, m2_err = binned_stats(m**2)
-    absm_val, absm_err = binned_stats(np.abs(m))
-    chi = v * (m2_val - absm_val**2)
-    # error propagation: chi depends on m2 and |m|; combine in quadrature
-    chi_err = v * float(np.hypot(m2_err, 2 * absm_val * absm_err))
-    return {"phi2": (phi2_val, phi2_err), "chi": (chi, chi_err)}
+    axes = tuple(range(1, samples.ndim))
+    phi2 = (samples**2).mean(axis=axes)
+    m = samples.mean(axis=axes)
+    n_bins = max(2, min(n_bins, len(m) // 10))
+    n = (len(m) // n_bins) * n_bins
+
+    def bins(x):
+        return x[:n].reshape(n_bins, -1).mean(axis=1)
+
+    def jack(fn, *series):
+        bs = [bins(s) for s in series]
+        full = fn(*[b.mean() for b in bs])
+        leave = np.array([fn(*[np.delete(b, i).mean() for b in bs])
+                          for i in range(n_bins)])
+        err = np.sqrt((n_bins - 1) / n_bins
+                      * ((leave - leave.mean()) ** 2).sum())
+        return float(full), float(err)
+
+    phi2_val, phi2_err = jack(lambda a: a, phi2)
+    chi_val, chi_err = jack(lambda m2, am: v * (m2 - am**2),
+                            m**2, np.abs(m))
+    return {"phi2": (phi2_val, phi2_err), "chi": (chi_val, chi_err)}
 
 
 def run_reference(args):

@@ -31,6 +31,13 @@ run_with_retry() {
       kill "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; sleep 75; continue
     fi
     wait "$pid"
+    local status=$?
+    if [ $status -ne 0 ]; then
+      # covers both post-init failures and early deaths (import errors
+      # etc. exit before the init banner and land here via ok=2)
+      echo "[$tag] attempt $attempt exited with status $status; retrying" >&2
+      sleep 75; continue
+    fi
     grep "^{" "$log"
     return 0
   done

@@ -1,6 +1,7 @@
 """Staggered-fermion log-det tests (the Schwinger model's fermion part)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,6 +125,18 @@ def test_schur_logdet_matches_dense(rng):
         np.testing.assert_allclose(np.asarray(schur(jnp.asarray(links))),
                                    np.asarray(dense(jnp.asarray(links))),
                                    rtol=1e-10)
+
+
+def test_schur_rejects_odd_extent(rng):
+    """Odd extents wrap even sites onto even sites, breaking the
+    parity-changing structure the Schur identity needs -- must raise, not
+    silently return a wrong value (V=12 is even, so a volume-only check
+    would pass)."""
+    links = _random_links(rng, lat=(3, 4), batch=1)
+    schur = StaggeredFermionLogDet(lat_shape=(3, 4), mass=0.35,
+                                   method="schur")
+    with pytest.raises(ValueError, match="extent"):
+        schur(jnp.asarray(links))
 
 
 def test_schur_logdet_grad_matches_dense(rng):
