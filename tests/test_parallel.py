@@ -189,3 +189,36 @@ def test_space_sharded_training_matches_single_device():
     h2 = m2.fit(n_epochs=6, batch_size=32, hyperparam=dict(lr=1e-3),
                 checkpoint_dict=dict(print_stride=None))
     np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=1e-6)
+
+
+def test_compiled_collective_structure():
+    """The linear-ESS/s-scaling claim, proven from compiled HLO: the
+    sharded SAMPLING program contains no cross-device collectives (chips
+    draw and transform their batch shards independently -- scaling is by
+    construction), while the TRAINING step contains the gradient
+    all-reduce that replaces DDP/NCCL (SURVEY §2.11)."""
+    m = _model(seed=3)
+    m.device_handler.use_mesh(n_devices=8)
+    m.device_handler.replicate_params()
+    sharder = m.device_handler.batch_sharder()
+
+    @jax.jit
+    def sample_prog(net, prior, action, key):
+        x, logr = prior.sample_(key, 64)
+        x = sharder(x)
+        y, logj = net.forward(x)
+        return y, logr - logj, -action(y)
+
+    txt = (sample_prog.lower(m.net_, m.prior, m.action, jax.random.key(0))
+           .compile().as_text())
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in txt, f"sampling program contains {coll}"
+
+    fit = m.fit
+    fit.optimizer = fit._build_optimizer("adamw", None, None)
+    fit.opt_state = fit.optimizer.init(m.net_)
+    step = fit._make_step_fn()
+    txt2 = (step.lower(m.net_, fit.opt_state, jax.random.key(1), 64)
+            .compile().as_text())
+    assert "all-reduce" in txt2, "training step lost its gradient psum"
