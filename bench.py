@@ -4,10 +4,17 @@ Protocol (fully seeded -- two consecutive runs agree within the quoted
 error bars):
  1. build the flagship 32x32 RQ-spline-coupling flow (BASELINE.json config 3);
  2. train for --train_epochs of reverse-KL (path-gradient estimator, fixed
-    seed, one jitted scanned step, global grad-norm clip 1.0 -- the round-2
-    48k-epoch study showed unclipped runs can blow up late in training);
+    seed, one jitted scanned step, global grad-norm clip 25 -- unclipped
+    runs can blow up late in training (round-2 48k-epoch study: finite
+    loss spiral, accept -> 0), while tight thresholds (1-3) are active in
+    NORMAL training and cost ~7% ESS; 25 is catastrophe-only insurance,
+    measured at no ESS cost (0.6472 vs 0.6494 unclipped));
  3. measure raw sampling throughput (scanned sampling program, median of
-    --reps timed repetitions; spread reported);
+    --reps timed repetitions; spread reported).  The default scan length
+    (400 rounds/dispatch) amortizes the ~49 ms per-dispatch tunnel/host
+    overhead to <4% (scripts/exp_scanlen.py: 242k samples/s at 50 rounds
+    vs 319k at 400, asymptote 333k) -- production sampling
+    (``sample_chain``) scans far more than this per dispatch;
  4. ESS fraction from the same logqp stream, with a bootstrap error bar;
  5. effective samples/s = throughput * ESS  (+- error from both factors).
 
@@ -78,7 +85,7 @@ def main():
     p.add_argument("--train_epochs", type=int, default=24000)
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=1024)
-    p.add_argument("--sample_iters", type=int, default=50)
+    p.add_argument("--sample_iters", type=int, default=400)
     p.add_argument("--steps_per_call", type=int, default=1000)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--lat", type=int, default=32)
@@ -86,6 +93,8 @@ def main():
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--grad_estimator", default="path",
                    choices=["rep", "path"])
+    p.add_argument("--clip", type=float, default=25.0,
+                   help="global grad-norm clip for the training phase")
     args = p.parse_args()
 
     import optax
@@ -101,7 +110,7 @@ def main():
                   1.0, decay_steps=args.train_epochs, alpha=0.05),
               steps_per_call=args.steps_per_call,
               grad_estimator=args.grad_estimator,
-              clip_grad_norm=1.0,
+              clip_grad_norm=args.clip,
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
@@ -158,6 +167,12 @@ def main():
     eff_err = eff_samples_per_sec * float(np.hypot(rel_t, rel_e))
 
     # -- roofline accounting for the sampling program ------------------- #
+    # XLA's compiled-program cost analysis counts a while-loop BODY once,
+    # independent of trip count (verified: identical flops for length 5
+    # and 50 scans), so totals are per-scan-iteration, i.e. per `batch`
+    # samples.  "bytes accessed" counts op operand bytes, which OVERcounts
+    # HBM traffic when XLA fuses intermediates into VMEM -- hbm_util is an
+    # upper bound on true HBM utilization.
     mfu = hbm_util = None
     flops_per_sample = bytes_per_sample = None
     bound = None
@@ -169,16 +184,16 @@ def main():
             args.batch).compile()
         ca_list = compiled.cost_analysis()
         ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
-        flops_per_sample = flops / n_per_program
-        bytes_per_sample = bytes_acc / n_per_program
+        flops_per_sample = float(ca.get("flops", 0.0)) / args.batch
+        bytes_per_sample = float(ca.get("bytes accessed", 0.0)) / args.batch
         peak_flops, peak_bw = _chip_peaks()
         if peak_flops:
-            mfu = round((flops / dt_best) / peak_flops, 5)
-            hbm_util = round((bytes_acc / dt_best) / peak_bw, 5)
-            bound = ("bandwidth" if bytes_acc / peak_bw > flops / peak_flops
-                     else "compute")
+            mfu = round(flops_per_sample * samples_per_sec / peak_flops, 5)
+            hbm_util = round(
+                bytes_per_sample * samples_per_sec / peak_bw, 5)
+            bound = ("bandwidth"
+                     if bytes_per_sample / peak_bw
+                     > flops_per_sample / peak_flops else "compute")
     except Exception:
         pass
 
