@@ -31,6 +31,8 @@ def main():
     p.add_argument("--grad_estimator", default="path")
     p.add_argument("--n_layers", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--alpha", type=float, default=0.05,
+                   help="cosine-decay floor as a fraction of lr")
     p.add_argument("--knots", type=int, default=8)
     p.add_argument("--dc_knots", type=int, default=16)
     p.add_argument("--clip", type=float, default=0.0,
@@ -66,7 +68,7 @@ def main():
               loss_fn=loss_fn,
               hyperparam=dict(lr=args.lr, weight_decay=1e-4),
               scheduler=optax.cosine_decay_schedule(
-                  1.0, decay_steps=args.train_epochs, alpha=0.05),
+                  1.0, decay_steps=args.train_epochs, alpha=args.alpha),
               steps_per_call=args.steps_per_call,
               grad_estimator=args.grad_estimator,
               clip_grad_norm=args.clip if args.clip > 0 else None,
