@@ -111,24 +111,22 @@ class FlowList(Flow):
 
     def get_weights_blob(self) -> str:
         """Portable base64 weight blob (reference nn/_core.py:108-112)."""
-        import numpy as np
         from flax.serialization import msgpack_serialize
 
-        leaves = {str(i): np.asarray(l)
-                  for i, l in enumerate(jax.tree_util.tree_leaves(self))}
-        return base64.b64encode(msgpack_serialize(leaves)).decode("utf-8")
+        from ..utils.serialization import leaves_of
+
+        return base64.b64encode(
+            msgpack_serialize(leaves_of(self))).decode("utf-8")
 
     def set_weights_blob(self, blob: str) -> "FlowList":
-        """Return a copy with weights restored from a blob (functional)."""
-        import numpy as np
+        """Return a copy with weights restored from a blob (functional;
+        leaf-count/shape-checked against this architecture)."""
         from flax.serialization import msgpack_restore
 
+        from ..utils.serialization import restore_into
+
         leaf_dict = msgpack_restore(base64.b64decode(blob.strip()))
-        leaves, treedef = jax.tree_util.tree_flatten(self)
-        new = [jnp.asarray(np.asarray(leaf_dict[str(i)]),
-                           dtype=jnp.asarray(old).dtype)
-               for i, old in enumerate(leaves)]
-        return jax.tree_util.tree_unflatten(treedef, new)
+        return restore_into(self, leaf_dict)
 
     @property
     def npar(self) -> int:

@@ -162,12 +162,7 @@ def _knots_from_net_out(out, *, xlim, ylim, xwidth, ywidth,
     softplus (log-2 parameterization so zero nets give unit derivatives);
     then static boundary augmentation per ``extrap``.
     """
-    def zeropad(w):
-        return jnp.zeros((*w.shape[:-1], 1), w.dtype)
-
-    def to_coord(w, lo, width):
-        c = jnp.cumsum(jax.nn.softmax(w, axis=-1), axis=-1)
-        return lo + width * jnp.concatenate([zeropad(w), c], axis=-1)
+    to_coord = sp.knot_coords
 
     n = out.shape[-1]
     if fixed_x is None and fixed_y is None:

@@ -390,11 +390,7 @@ class SplineFlow(Flow):
         softplus derivatives; then boundary augmentation per ``extrap``.
         """
         def to_coord(w, lim):
-            widths = jax.nn.softmax(w, axis=-1)
-            coord = jnp.cumsum(widths, axis=-1)
-            zero = jnp.zeros((*coord.shape[:-1], 1), coord.dtype)
-            coord = jnp.concatenate([zero, coord], axis=-1)
-            return lim[0] + coord * (lim[1] - lim[0])
+            return sp.knot_coords(w, lim[0], lim[1] - lim[0])
 
         kx = (jnp.asarray(self.fixed_knots_x.value) if self.fixed_knots_x is not None
               else to_coord(self.weights_x, self.xlim))

@@ -95,9 +95,7 @@ def _circular_spline_knots(out):
     wx, wy, wd = jnp.split(out, [m1, 2 * m1], axis=-1)
 
     def coords(w):
-        c = jnp.cumsum(jax.nn.softmax(w, axis=-1), axis=-1)
-        zero = jnp.zeros((*w.shape[:-1], 1), w.dtype)
-        return -_PI + 2 * _PI * jnp.concatenate([zero, c], axis=-1)
+        return sp.knot_coords(w, -_PI, 2 * _PI)
 
     kx = coords(wx)
     ky = coords(wy)

@@ -99,9 +99,11 @@ class CircularConv(Pytree):
     def _convnd(self, x, w):
         nd = w.ndim - 2
         ks = w.shape[:nd]
-        # periodic 'same' padding: total pad k-1, split (k//2, (k-1)//2)
-        # to match torch's padding='same' site alignment.
-        pad = [(0, 0)] + [(k // 2, (k - 1) // 2) for k in ks] + [(0, 0)]
+        # periodic 'same' padding: total pad k-1, split ((k-1)//2, k//2)
+        # to match torch's padding='same' site alignment (torch puts the
+        # extra pad of an even kernel on the right; only even kernels
+        # are sensitive to the split).
+        pad = [(0, 0)] + [((k - 1) // 2, k // 2) for k in ks] + [(0, 0)]
         x = jnp.pad(x, pad, mode="wrap")
         spec = "".join("DHW"[3 - nd:][i] for i in range(nd))
         dn = jax.lax.conv_dimension_numbers(
@@ -117,7 +119,7 @@ class CircularConv(Pytree):
         k0 = self.weight.shape[0]
         y = 0.0
         for i in range(k0):
-            shift = i - k0 // 2
+            shift = i - (k0 - 1) // 2
             xi = jnp.roll(x, -shift, axis=1)
             y = y + self._convnd(
                 xi.reshape((-1, *x.shape[2:])), self.weight[i]

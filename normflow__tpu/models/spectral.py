@@ -94,9 +94,29 @@ class IPSDNoZeroMode(Pytree):
         return jnp.asarray([logy[0] + np.log(a) * (ndim - 2)])
 
     def infrared_mass(self, max_lat_k2):
-        z = self(jnp.asarray([1e-6 / max_lat_k2, 2e-6 / max_lat_k2]))
+        # probe the raw ipsd curve WITHOUT the zero-mode pin: the pin is an
+        # FFT-weight guard, not part of the physical curve -- the reference
+        # probes through its pinned forward (fftflow_.py:311-314), which
+        # sets z[0]=1 and makes sqrt(z0/factor) NaN; defect not replicated.
+        y = jnp.exp(self.logy)
+        s, _ = self.spline.forward(
+            jnp.asarray([1e-6 / max_lat_k2, 2e-6 / max_lat_k2]),
+            density=True)
+        z = y[0] * s
         factor = (z[1] - z[0]) / 1e-6
         return jnp.sqrt(z[0] / factor)
+
+
+def _spread_density(logj, lat_shape, dtype):
+    """Spread a per-sample scalar logJ uniformly over the lattice as a
+    logJ DENSITY (reference create_density, fftflow_.py:211-220): summing
+    the result over lattice axes recovers ``logj`` exactly."""
+    lat_shape = tuple(lat_shape)
+    n = int(np.prod(lat_shape))
+    logj = jnp.sum(jnp.asarray(logj),
+                   axis=tuple(range(1, jnp.ndim(logj))))
+    return (jnp.reshape(logj / n, (-1,) + (1,) * len(lat_shape))
+            * jnp.ones(lat_shape, dtype))
 
 
 class FreeScalar:
@@ -178,10 +198,18 @@ class FFTFlow(Flow):
 
     def log_jacobian(self, w, density: bool = False):
         """log|det| of the spectral multiply (the FFT itself is volume
-        preserving) -- reference fftflow_.py:167-180."""
+        preserving) -- reference fftflow_.py:167-180.
+
+        rfft redundancy: every mode appears twice (k and -k) except the
+        planes that are their own conjugate -- the k_last=0 plane always,
+        and the Nyquist plane k_last=n/2 ONLY when the last extent n is
+        even (for odd n the last rfft entry is an ordinary doubled mode;
+        verified against dense ``slogdet`` in tests/test_flows.py)."""
         axes = self._fft_axes
         sumlog = lambda a: jnp.sum(jnp.log(a), axis=axes)
-        logj = 2 * sumlog(w) - (sumlog(w[..., 0:1]) + sumlog(w[..., -1:]))
+        logj = 2 * sumlog(w) - sumlog(w[..., 0:1])
+        if self.lat_shape[-1] % 2 == 0:
+            logj = logj - sumlog(w[..., -1:])
         if not density:
             return logj
         # uniform density spread (reference ``create_density``,
@@ -192,7 +220,8 @@ class FFTFlow(Flow):
 
     @property
     def infrared_mass(self):
-        return self.ipsd_net.infrared_mass()
+        max_k2 = float(np.max(np.asarray(rfft_lattice_k2(self.lat_shape))))
+        return self.ipsd_net.infrared_mass(max_lat_k2=max_k2)
 
     def transfer(self, scale_factor=1, shape=None, **extra):
         """Map weights to a new lattice/spacing (reference fftflow_.py:187-209)."""
@@ -228,9 +257,17 @@ class MeanFieldFlow(Flow):
             dims = tuple(range(1, x.ndim))
             rvol = float(np.prod(x.shape[1:])) ** 0.5
             x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))
-            y_scaled, log0 = fn(x_mean * rvol, log0, density=density)
-            return x + (y_scaled / rvol - x_mean), log0
-        # x is already the mean field (PSDBlock path)
+            # the whole-lattice logJ lives on the single mean mode; in
+            # density mode it must be SPREAD over the lattice (like
+            # FFTFlow.log_jacobian / reference create_density), not left
+            # concentrated in a (B,1,..,1) cell where a later broadcast
+            # against lattice-shaped densities would count it V times
+            y_scaled, logj = fn(x_mean * rvol, 0.0, density=False)
+            if density:
+                logj = _spread_density(logj, x.shape[1:], x.dtype)
+            return x + (y_scaled / rvol - x_mean), log0 + logj
+        # x is already the mean field (PSDBlock path, which spreads the
+        # density itself -- it knows the lattice shape)
         y_scaled, log0 = fn(x * rvol, log0, density=density)
         return y_scaled / rvol, log0
 
@@ -250,12 +287,23 @@ class PSDBlock(Flow):
         return self._apply(x, log0, density, inverse=True)
 
     def _apply(self, x, log0, density, inverse):
+        ipsd = getattr(self.fftnet, "ipsd_net", None)
+        if ipsd is not None and not getattr(ipsd, "ignore_zeromode", True):
+            # the mean-field flow owns the zero mode: the FFT weight at
+            # k=0 must be pinned to 1, else logq double-counts that DOF
+            # (w(0)=1 at the default init masks the bug until training
+            # moves it)
+            raise ValueError(
+                "PSDBlock needs an fftnet built with ignore_zeromode=True")
         dims = tuple(range(1, x.ndim))
         rvol = float(np.prod(x.shape[1:])) ** 0.5
         x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))
         mf = self.mfnet.backward if inverse else self.mfnet.forward
         fft = self.fftnet.backward if inverse else self.fftnet.forward
-        y_mf, logj_mf = mf(x_mean, rvol=rvol, density=density)
+        y_mf, logj_mf = mf(x_mean, rvol=rvol, density=False)
+        if density:
+            # spread the mean-mode logJ over the lattice (see MeanFieldFlow)
+            logj_mf = _spread_density(logj_mf, x.shape[1:], x.dtype)
         y_fft, logj_fft = fft(x - x_mean, density=density)
         return y_mf + y_fft, log0 + logj_mf + logj_fft
 

@@ -39,7 +39,19 @@ import numpy as np
 __all__ = [
     "rqs", "rls", "augment_knots", "smooth_derivatives_rq",
     "smooth_derivatives_rl", "searchsorted_last", "segment_gather",
+    "knot_coords",
 ]
+
+
+def knot_coords(w: jax.Array, lo, width) -> jax.Array:
+    """Monotone knot coordinates from unconstrained width weights:
+    softmax -> cumsum -> prepend 0 -> affine map to ``[lo, lo + width]``
+    along the trailing axis (reference SplineNet.make_spline,
+    modules.py:369-391).  Single definition shared by the coupling
+    conditioner, ``SplineFlow``, and the circular gauge splines."""
+    c = jnp.cumsum(jax.nn.softmax(w, axis=-1), axis=-1)
+    zero = jnp.zeros((*w.shape[:-1], 1), w.dtype)
+    return lo + width * jnp.concatenate([zero, c], axis=-1)
 
 
 def searchsorted_last(knots: jax.Array, x: jax.Array) -> jax.Array:

@@ -28,23 +28,8 @@ def snapshot_path_for_epoch(snapshot_path: str, epoch: int) -> str:
     return f"{base}.E{epoch}.msgpack"
 
 
-def _leaves_of(tree) -> dict:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return {str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)}
-
-
-def _restore_into(tree, leaf_dict):
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    if len(leaves) != len(leaf_dict):
-        raise ValueError(
-            f"snapshot has {len(leaf_dict)} leaves, template has {len(leaves)}"
-            " -- model architecture mismatch")
-    new_leaves = [
-        np.asarray(leaf_dict[str(i)]).astype(np.asarray(old).dtype).reshape(
-            np.asarray(old).shape)
-        for i, old in enumerate(leaves)
-    ]
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+from ..utils.serialization import (  # noqa: E402 (shared helpers)
+    leaves_of as _leaves_of, restore_into as _restore_into)
 
 
 def save_snapshot(path: str, *, net, opt_state=None, epoch: int = 0, key=None):

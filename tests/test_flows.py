@@ -372,3 +372,92 @@ def test_packed_coupling_with_parity_feature(rng, key):
                                extrap={"left": "linear", "right": "linear"})
     x = jnp.asarray(rng.standard_normal((4, *lat)))
     check_roundtrip(c, x, atol=1e-8)
+
+
+# ------------------------------------------------------------------ #
+# round-2 review regressions (spectral logJ edge cases, even kernels)
+# ------------------------------------------------------------------ #
+def _perturb(tree, rng, eps=0.1):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [l + jnp.asarray(rng.standard_normal(l.shape) * eps, l.dtype)
+           if isinstance(l, jax.Array) and jnp.issubdtype(l.dtype, jnp.inexact)
+           else l for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@pytest.mark.parametrize("lat", [(4, 5), (5, 4), (3, 3), (5,), (6,)])
+def test_fftflow_logj_any_extent_parity(rng, lat):
+    """rfft-redundancy logJ == dense slogdet for odd AND even extents
+    (the k_last Nyquist plane is self-conjugate only for even last dims)."""
+    flow = FFTFlow.build(lat, knots_len=3, eff_mass2=2.0, eff_kappa=0.7)
+    flow = _perturb(flow, rng, 0.2)
+    w = 1.0 / jnp.sqrt(flow.ipsd)
+    logj_direct = float(flow.log_jacobian(w))
+    e = jnp.zeros(int(np.prod(lat)))
+    jac = jax.jacfwd(lambda v: flow.forward(v.reshape(1, *lat))[0].ravel())(e)
+    _, logdet = jnp.linalg.slogdet(jac)
+    np.testing.assert_allclose(logj_direct, float(logdet), rtol=1e-8)
+
+
+def test_psdblock_rejects_unpinned_zeromode(rng):
+    """The mean-field flow owns the zero mode; an fftnet that can move the
+    k=0 weight away from 1 double-counts that DOF in logq -- must raise."""
+    block = PSDBlock(
+        mfnet=MeanFieldFlow.build(4, symmetric=True, smooth=True),
+        fftnet=FFTFlow.build((4, 4), knots_len=4, ignore_zeromode=False))
+    with pytest.raises(ValueError, match="ignore_zeromode"):
+        block.forward(jnp.zeros((2, 4, 4)))
+
+
+def test_meanfield_and_psdblock_density_spread(rng):
+    """density=True must SPREAD the mean-mode logJ over the lattice:
+    summing the density over lattice axes == the scalar logJ (previously
+    the whole logJ sat in a (B,1,1) cell and broadcast V-fold)."""
+    lat = (4, 4)
+    x = jnp.asarray(rng.standard_normal((3, *lat)))
+    mf = _perturb(MeanFieldFlow.build(6, symmetric=True, smooth=True,
+                                      final_scale=True), rng)
+    block = PSDBlock(
+        mfnet=mf,
+        fftnet=_perturb(FFTFlow.build(lat, knots_len=4,
+                                      ignore_zeromode=True), rng))
+    for flow in (mf, block):
+        y1, logj = flow.forward(x)
+        y2, dens = flow.forward(x, density=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
+        assert dens.shape == (3, *lat)
+        assert float(jnp.abs(logj).min()) > 1e-4  # perturbation worked
+        np.testing.assert_allclose(np.asarray(jnp.sum(dens, axis=(1, 2))),
+                                   np.asarray(logj), rtol=1e-5)
+
+
+def test_infrared_mass_both_ipsd_variants():
+    from normflow__tpu.models.spectral import IPSDNoZeroMode
+
+    f1 = FFTFlow.build((4, 4), knots_len=4, eff_mass2=2.0)
+    assert np.isfinite(float(f1.infrared_mass))
+    f2 = FFTFlow(ipsd_net=IPSDNoZeroMode.build(5, logy=[0.0], smooth=True),
+                 lat_shape=(4, 4))
+    assert np.isfinite(float(f2.infrared_mass))
+
+
+def test_circular_conv_even_kernel_matches_torch(rng, key):
+    """Even kernels are alignment-sensitive: torch's padding='same' puts
+    the extra pad on the right ((k-1)//2 left, k//2 right)."""
+    import torch
+
+    conv = CircularConv.build(key, 2, 3, kernel_size=4, conv_dim=2,
+                              bias=False)
+    w = np.asarray(conv.weight)  # (kh, kw, in, out)
+    x = rng.standard_normal((2, 6, 6, 2)).astype(w.dtype)
+    got = np.asarray(conv(jnp.asarray(x)))
+    tconv = torch.nn.Conv2d(2, 3, 4, padding="same",
+                            padding_mode="circular", bias=False,
+                            dtype=torch.float64)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.tensor(w.transpose(3, 2, 0, 1),
+                                        dtype=torch.float64))
+        want = tconv(torch.tensor(x.transpose(0, 3, 1, 2),
+                                  dtype=torch.float64)
+                     ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
