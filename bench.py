@@ -114,17 +114,25 @@ def main():
               checkpoint_dict=dict(print_stride=None))
     train_time = time.time() - t0
 
-    # Sampling path: A/B the XLA vs fused-Pallas coupling backend with
-    # INTERLEAVED timed repetitions (tunnel/host contention drifts on the
-    # minute scale, so back-to-back comparisons lie); keep the winner.
+    # Sampling path: A/B the XLA vs fused-Pallas coupling backend and the
+    # bf16-conditioner variant with INTERLEAVED timed repetitions
+    # (tunnel/host contention drifts on the minute scale, so back-to-back
+    # comparisons lie); keep the winner by EFFECTIVE rate (throughput*ESS
+    # -- the bf16 arm trades ~1% ESS for ~10% raw speed).
     def with_backend(backend):
+        if backend == "xla_bf16":
+            from normflow__tpu.zoo import with_conv_compute_dtype
+
+            return with_conv_compute_dtype(model.net_, "bfloat16")
         flows = list(model.net_.flows)
         flows[2] = flows[2].replace(backend=backend)
         return model.net_.replace(flows=tuple(flows))
 
     backends = ["xla"]
-    if not args.no_pallas and jax.devices()[0].platform == "tpu":
-        backends += ["pallas", "pallas_reg"]
+    if jax.devices()[0].platform == "tpu":
+        backends += ["xla_bf16"]
+        if not args.no_pallas:
+            backends += ["pallas", "pallas_reg"]
     nets = {b: with_backend(b) for b in backends}
 
     key = jax.random.key(args.seed + 1)
@@ -144,18 +152,19 @@ def main():
                 args.sample_iters, args.batch, key=k2)
             jax.block_until_ready(logqp_by[b])
             times[b].append(time.time() - t0)
+    from normflow__tpu.training.losses import calc_ess
+
+    n_per_program = args.sample_iters * args.batch
     med = {b: float(np.median(times[b])) for b in backends}
-    best_backend = min(med, key=med.get)
+    ess_by = {b: float(calc_ess(logqp_by[b], 0.0)) for b in backends}
+    eff_by = {b: n_per_program / med[b] * ess_by[b] for b in backends}
+    best_backend = max(eff_by, key=eff_by.get)
     model.net_ = nets[best_backend]
     logqp = logqp_by[best_backend]
     dt = med[best_backend]
-    dt_best = float(np.min(times[best_backend]))
     times = times[best_backend]
-    n_per_program = args.sample_iters * args.batch
     samples_per_sec = n_per_program / dt
-
-    from normflow__tpu.training.losses import calc_ess
-    ess = float(calc_ess(logqp, 0.0))
+    ess = ess_by[best_backend]
     ess_err = bootstrap_ess_err(logqp)
     from normflow__tpu.mcmc import estimate_accept_rate
     accept, accept_err = estimate_accept_rate(jax.device_get(logqp))
@@ -215,6 +224,7 @@ def main():
         "grad_estimator": args.grad_estimator,
         "sampling_backend": best_backend,
         "backend_medians_s": {b: round(v, 4) for b, v in med.items()},
+        "backend_eff_per_s": {b: round(v, 1) for b, v in eff_by.items()},
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
     }

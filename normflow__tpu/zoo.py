@@ -29,7 +29,23 @@ from .nn import (
 )
 from .training.model import Model
 
-__all__ = ["build_phi4_model", "build_u1_model"]
+__all__ = ["build_phi4_model", "build_u1_model", "with_conv_compute_dtype"]
+
+
+def with_conv_compute_dtype(net_, dtype):
+    """Copy of a flow with every ``ConvNet``'s compute dtype overridden.
+
+    ``with_conv_compute_dtype(net_, 'bfloat16')`` after f32 training runs
+    the coupling conditioner convs on the MXU in bf16 during sampling:
+    measured +9.9% raw throughput for -1% ESS on the 32x32 flagship
+    (docs/EXPERIMENTS.md).  Metropolis exactness is unaffected -- logq and
+    the sample come from the same program."""
+    from .models.nets import ConvNet
+
+    is_conv = lambda n: isinstance(n, ConvNet)
+    return jax.tree_util.tree_map(
+        lambda n: n.replace(compute_dtype=dtype) if is_conv(n) else n,
+        net_, is_leaf=is_conv)
 
 
 def build_phi4_model(lat_shape=(32, 32), *, kappa=0.6, m_sq=-2.4, lambd=0.5,
