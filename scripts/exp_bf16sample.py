@@ -53,15 +53,21 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--lat", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--knots", type=int, default=12)
+    p.add_argument("--dc_knots", type=int, default=16)
+    p.add_argument("--hidden", type=int, nargs="*", default=[16, 16])
+    p.add_argument("--tag", default="")
     args = p.parse_args()
 
     import optax
 
-    from __graft_entry__ import _flagship_model
+    from normflow__tpu.zoo import build_phi4_model
     from normflow__tpu.training.losses import calc_ess
     from normflow__tpu.mcmc import estimate_accept_rate
 
-    model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed)
+    model = build_phi4_model((args.lat, args.lat), seed=args.seed,
+                             knots=args.knots, dc_knots=args.dc_knots,
+                             hidden=tuple(args.hidden))
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
               hyperparam=dict(lr=3e-3, weight_decay=1e-4),
               scheduler=optax.cosine_decay_schedule(
@@ -99,7 +105,9 @@ def main():
                   "accept": round(accept, 4),
                   "eff_per_s": round(sps * ess, 1)}
         print(json.dumps({b: out[b]}), flush=True)
-    print(json.dumps({"summary": out}))
+    print(json.dumps({"summary": out, "tag": args.tag,
+                      "knots": args.knots, "dc_knots": args.dc_knots,
+                      "hidden": args.hidden}))
 
 
 if __name__ == "__main__":
