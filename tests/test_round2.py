@@ -265,3 +265,34 @@ def test_nn_scalar_namespace():
 def test_mask_abc_exported():
     assert issubclass(nf.mask.EvenOddMask, nf.mask.Mask)
     assert issubclass(nf.mask.AlongAxesEvenOddMask, nf.mask.Mask)
+
+
+def test_with_conv_compute_dtype_bf16_sampling():
+    """zoo.with_conv_compute_dtype must convert every conditioner ConvNet
+    (including through RowParityFeature wrappers) and produce a valid,
+    close logqp stream -- the bf16-sampling production path."""
+    import jax.numpy as jnp
+
+    from normflow__tpu.zoo import build_phi4_model, with_conv_compute_dtype
+    from normflow__tpu.models.nets import ConvNet
+
+    model = build_phi4_model((8, 8), knots=4, hidden=(4,), seed=0)
+    net16 = with_conv_compute_dtype(model.net_, "bfloat16")
+    convs = [n for n in jax.tree_util.tree_leaves(
+        net16, is_leaf=lambda x: isinstance(x, ConvNet))
+        if isinstance(n, ConvNet)]
+    assert convs and all(c.compute_dtype == "bfloat16" for c in convs)
+    # params stay f32/f64 (master weights untouched)
+    assert all(jnp.issubdtype(l.dtype, jnp.floating) and
+               l.dtype != jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(net16)
+               if hasattr(l, "dtype"))
+
+    key = jax.random.key(1)
+    logqp_f32 = model.posterior.logqp_stream(4, 32, key=key)
+    model.net_ = net16
+    logqp_bf16 = model.posterior.logqp_stream(4, 32, key=key)
+    assert np.isfinite(np.asarray(logqp_bf16)).all()
+    # same flow up to bf16 conditioner rounding
+    np.testing.assert_allclose(np.asarray(logqp_bf16),
+                               np.asarray(logqp_f32), rtol=0.2, atol=2.0)
