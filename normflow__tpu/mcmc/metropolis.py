@@ -400,6 +400,10 @@ class BlockedMCMCSampler(MCMCSampler):
             assert block_len * n_blocks == nvar
         else:
             block_len, n_blocks = nvar, 1
+        # eager homogeneity validation (inside the jitted kernel the prior
+        # is traced and cannot be checked) -- a per-site prior would bias
+        # every block after the first
+        prior.chopped(block_len)
 
         k_init, k_run = jax.random.split(key)
         if self._ref is None:
@@ -495,14 +499,18 @@ class MCMCHistory:
             fmt = lambda mean, std: fmt_val_err(mean, std, err_digits=2)
         else:
             fmt = lambda mean, std: (mean, std)
-        logqp = np.asarray(self.logq[-1]) - np.asarray(self.logp[-1])
-        accept_rate = np.asarray(self.accept_rate)
         mean_std = lambda t: (float(np.mean(t)), float(np.std(t)))
-        return {
-            "logqp": fmt(*mean_std(logqp)),
-            "logz": fmt(*estimate_logz(logqp)),
-            "accept_rate": fmt(*mean_std(accept_rate)),
-        }
+        out = {}
+        if self.logq and self.logp:
+            logqp = np.asarray(self.logq[-1]) - np.asarray(self.logp[-1])
+            out["logqp"] = fmt(*mean_std(logqp))
+            out["logz"] = fmt(*estimate_logz(logqp))
+        if self.accept_rate:
+            # the scanned production samplers (sample_chain,
+            # sample_parallel_chains) record only accept_rate -- the
+            # summary must not crash after them
+            out["accept_rate"] = fmt(*mean_std(np.asarray(self.accept_rate)))
+        return out
 
     def bookkeeping(self, logq=None, logp=None, raw_logq=None, raw_logp=None,
                     accept_seq=None, accept_rate=None, accept_ind=None):

@@ -16,6 +16,27 @@ import numpy as np
 
 from ..struct import Pytree, static
 
+
+def _check_homogeneous(arrays, what):
+    """Raise if any array has site-dependent values.
+
+    Blocked proposals reuse ONE chopped prior for EVERY block, so the
+    proposal density only matches each block's own marginal when the
+    prior is homogeneous.  The reference assumes this silently ("we
+    assume loc & scale are identical everywhere", prior.py:107); a
+    violation breaks detailed balance with no error.  Under jit tracing
+    values are unavailable -- the blocked sampler validates eagerly at
+    its (concrete) entry point instead."""
+    for a in arrays:
+        if isinstance(a, jax.core.Tracer):
+            return
+        a = np.asarray(a).ravel()
+        if a.size and not np.all(a == a.flat[0]):
+            raise ValueError(
+                "blocked proposals need a homogeneous prior (identical "
+                f"{what} at every site); per-site parameters would bias "
+                "every block after the first")
+
 __all__ = ["NormalPrior", "UniformPrior", "PriorList"]
 
 _LOG_2PI = float(np.log(2.0 * np.pi))
@@ -83,12 +104,18 @@ class NormalPrior(Prior):
 
     def chopped(self, block_len: int) -> "NormalPrior":
         """A flattened prior over the first ``block_len`` sites, for
-        block-Gibbs proposals (reference prior.py:106-112)."""
-        return NormalPrior(
-            loc=self.loc.ravel()[:block_len],
-            scale=self.scale.ravel()[:block_len],
-            shape=(block_len,),
-        )
+        block-Gibbs proposals (reference prior.py:106-112).
+
+        Block proposals reuse this ONE chopped prior for EVERY block, so
+        the proposal density only matches each block's own marginal when
+        the prior is homogeneous.  The reference assumes this silently
+        ("we assume loc & scale are identical everywhere", prior.py:107);
+        a violation breaks detailed balance with no error, so check it.
+        """
+        loc, scale = self.loc.ravel(), self.scale.ravel()
+        _check_homogeneous((loc, scale), "loc/scale")
+        return NormalPrior(loc=loc[:block_len], scale=scale[:block_len],
+                           shape=(block_len,))
 
 
 class UniformPrior(Prior):
@@ -119,6 +146,14 @@ class UniformPrior(Prior):
         inside = (x >= self.low) & (x <= self.high)
         d = -jnp.log(self.high - self.low)
         return jnp.where(inside, d, -jnp.inf)
+
+    def chopped(self, block_len: int) -> "UniformPrior":
+        """Flattened prior over the first ``block_len`` sites for blocked
+        proposals (homogeneity required -- see NormalPrior.chopped)."""
+        low, high = self.low.ravel(), self.high.ravel()
+        _check_homogeneous((low, high), "low/high")
+        return UniformPrior(low=low[:block_len], high=high[:block_len],
+                            shape=(block_len,))
 
 
 class PriorList(Pytree):

@@ -43,13 +43,18 @@ def binder_cumulant(cfgs):
 
 
 def two_point_function(cfgs, axis: int = 1):
-    """Connected zero-momentum 2-pt function along ``axis``: (B, L)."""
+    """Connected zero-momentum 2-pt function along ``axis``: (B, L).
+
+    The connected subtraction uses the ENSEMBLE mean over the batch:
+    subtracting each configuration's own slab mean squared would shift
+    every t-slice down by ~Var(m) = chi/V, which is not small near
+    criticality and biases effective-mass fits."""
     other = tuple(d for d in range(1, cfgs.ndim) if d != axis)
     slab = jnp.mean(cfgs, axis=other) if other else cfgs  # (B, L)
     l = slab.shape[1]
     fk = jnp.fft.rfft(slab, axis=1)
     corr = jnp.fft.irfft(fk * jnp.conj(fk), n=l, axis=1) / l
-    return corr - jnp.mean(slab, axis=1, keepdims=True) ** 2
+    return corr - jnp.mean(slab) ** 2
 
 
 def integrated_autocorr_time(series, c: float = 5.0) -> float:

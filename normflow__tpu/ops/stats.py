@@ -55,7 +55,19 @@ class Resampler:
 
     def eval(self, samples, fn: Callable = np.mean, **kwargs):
         vals = [fn(q) for q in self(samples, **kwargs)]
-        return float(np.mean(vals)), float(np.std(vals))
+        return float(np.mean(vals)), self._std(vals)
+
+    def _std(self, vals):
+        """Resample spread -> standard error.  Jackknife leave-one-out
+        estimates cluster ~n x tighter than the sampling error, so their
+        std must be inflated by sqrt(n-1) (the reference's combo.py:11-23
+        misses this and under-reports jackknife error bars ~sqrt(n)-fold;
+        defect not replicated).  Bootstrap/shuffling stds are direct."""
+        n = len(vals)
+        std = float(np.std(vals))
+        if self.method == "jackknife" and n > 1:
+            std *= np.sqrt(n - 1.0)
+        return std
 
 
 def estimate_logz(logqp, n_resamples: int = 10, method: str = "bootstrap",
@@ -75,7 +87,8 @@ def estimate_logz(logqp, n_resamples: int = 10, method: str = "bootstrap",
 
     mean = calc_logz(-logqp)
     resampler = Resampler(method, seed=seed)
-    std = float(np.std([calc_logz(x) for x in resampler(-logqp, n_resamples)]))
+    std = resampler._std(
+        [calc_logz(x) for x in resampler(-logqp, n_resamples)])
     return mean, std
 
 

@@ -33,8 +33,12 @@ def init_distributed(**kwargs):
     restriction).  No-op if already initialized or single-process."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        # only swallow the benign double-init case; a misconfigured
+        # coordinator must NOT silently degrade a pod job into
+        # independent single-host runs
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data",
@@ -103,7 +107,21 @@ class ModelDeviceHandler:
         """
         self.mesh = mesh if mesh is not None else make_mesh(n_devices, axis,
                                                             axes=axes)
-        self.data_axis = axis if not axes else tuple(axes)[0]
+        if axes:
+            # the batch axis is the named ``axis`` if present, else the
+            # first non-'space' key -- dict ORDER must not matter
+            # (axes={'space':..., 'data':...} used to shard the batch
+            # over 'space' and build a duplicate-axis PartitionSpec)
+            if axis in axes:
+                self.data_axis = axis
+            else:
+                non_space = [k for k in axes if k != "space"]
+                if not non_space:
+                    raise ValueError(
+                        "axes needs a batch axis besides 'space'")
+                self.data_axis = non_space[0]
+        else:
+            self.data_axis = axis
         self.space_axis = ("space" if (axes and "space" in axes)
                           or (mesh is not None and "space" in mesh.axis_names)
                           else None)

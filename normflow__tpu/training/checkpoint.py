@@ -23,9 +23,18 @@ __all__ = ["save_snapshot", "load_snapshot", "snapshot_path_for_epoch"]
 
 def snapshot_path_for_epoch(snapshot_path: str, epoch: int) -> str:
     """``<base>.E<epoch>.msgpack``, mirroring ``_save_snapshot``'s
-    ``<base>.E<epoch>.tar`` (reference _normflowcore.py:242)."""
-    base = snapshot_path.rsplit(".", 2)[0]
-    return f"{base}.E{epoch}.msgpack"
+    ``<base>.E<epoch>.tar`` (reference _normflowcore.py:242).
+
+    Only the basename's ``[.E<n>][.ext]`` suffix is stripped -- dotted
+    directories (``run.32x32/model.msgpack``) and multi-dot basenames must
+    not lose path components (a wrong base breaks resume silently)."""
+    head, base = os.path.split(snapshot_path)
+    parts = base.split(".")
+    if len(parts) > 1:
+        parts = parts[:-1]  # drop the extension
+    if len(parts) > 1 and parts[-1][:1] == "E" and parts[-1][1:].isdigit():
+        parts = parts[:-1]  # drop an existing .E<epoch>
+    return os.path.join(head, ".".join(parts) + f".E{epoch}.msgpack")
 
 
 from ..utils.serialization import (  # noqa: E402 (shared helpers)

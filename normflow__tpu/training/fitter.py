@@ -356,17 +356,25 @@ class Fitter:
         rank = model.device_handler.rank
         cd = self.checkpoint_dict
         if rank == 0:
-            if cd["snapshot_path"] is not None and (epoch % save_every == 0):
+            if (cd["snapshot_path"] is not None and save_every
+                    and epoch % save_every == 0):
                 self._save_snapshot(epoch)
 
-        if cd["print_stride"] is None:  # evals disabled
+        if not cd["print_stride"]:  # None or 0: evals disabled
             return
         if epoch == 1 or epoch == 10 or (epoch % cd["print_stride"] == 0):
             if self._eval_fn is None:
                 self._eval_fn = self._make_eval_fn()
             logq, logp = self._eval_fn(
                 model.net_, model.next_key(), cd["print_batch_size"])
+            if model.device_handler.nranks > 1:
+                # multi-host: the metric batch is sharded across processes;
+                # gather to every host before host-level math (reference
+                # all_gather_into_tensor, _normflowcore.py:310-317)
+                logq = model.device_handler.all_gather_into_tensor(logq)
+                logp = model.device_handler.all_gather_into_tensor(logp)
             if rank == 0:
+                logq, logp = jnp.asarray(logq), jnp.asarray(logp)
                 loss_ = self.loss_fn(logq, logp)
                 self._append_to_train_history(np.asarray(logq), np.asarray(logp))
                 self.print_fit_status(epoch, loss=float(loss_))

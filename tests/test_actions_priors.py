@@ -229,10 +229,12 @@ def test_observables(rng):
     assert -1 <= float(obs.binder_cumulant(x)) <= 1
     c = obs.two_point_function(x)
     assert c.shape == (64, 8)
-    # correlator at 0 equals variance of the slab average
+    # correlator at 0: <s^2>_t per config minus the ENSEMBLE mean squared
+    # (connected subtraction must not use per-config means)
     slab = np.asarray(x).mean(2)
     np.testing.assert_allclose(np.asarray(c[:, 0]),
-                               (slab**2).mean(1) - slab.mean(1)**2, atol=1e-8)
+                               (slab**2).mean(1) - slab.mean()**2,
+                               atol=1e-8)
 
 
 def test_autocorr_time(rng):
@@ -249,3 +251,59 @@ def test_autocorr_time(rng):
     tau = integrated_autocorr_time(x)
     assert 10 < tau < 30, tau
     assert effective_sample_size(x) == pytest.approx(len(x) / tau)
+
+
+# ------------------------------------------------------------------ #
+# round-2 second-review regressions
+# ------------------------------------------------------------------ #
+def test_chopped_prior_homogeneity_guard():
+    """Blocked proposals reuse ONE chopped prior for every block; a
+    per-site prior silently breaks detailed balance -- must raise."""
+    import pytest
+
+    hom = nf.prior.NormalPrior.build(shape=(8,))
+    assert hom.chopped(2).shape == (2,)
+    inh = nf.prior.NormalPrior.build(loc=np.arange(8.0), scale=np.ones(8))
+    with pytest.raises(ValueError, match="homogeneous"):
+        inh.chopped(2)
+    uni = nf.prior.UniformPrior.build(shape=(8,))
+    assert uni.chopped(2).shape == (2,)  # existed only on NormalPrior
+
+
+def test_jackknife_error_scaling(rng):
+    """Jackknife standard error must match the analytic SEM of the mean
+    (leave-one-out spread inflated by sqrt(n-1)); the reference's
+    combo.py under-reports it ~sqrt(n)-fold."""
+    from normflow__tpu.ops import stats
+
+    x = rng.standard_normal(400)
+    sem = x.std(ddof=1) / np.sqrt(len(x))
+    _, jk = stats.Resampler("jackknife", seed=0).eval(x, np.mean)
+    assert 0.8 * sem < jk < 1.2 * sem
+    _, bs = stats.Resampler("bootstrap", seed=0).eval(
+        x, np.mean, n_resamples=200)
+    assert 0.7 * sem < bs < 1.3 * sem
+
+
+def test_two_point_function_ensemble_connected(rng):
+    """For iid noise the connected correlator must vanish at t != 0;
+    per-configuration mean subtraction shifts it by -Var(m)."""
+    from normflow__tpu.ops.observables import two_point_function
+
+    cfgs = jnp.asarray(rng.standard_normal((512, 8, 8)))
+    g = np.asarray(two_point_function(cfgs)).mean(axis=0)
+    # var per slab value = 1/8; error of the mean ~ (1/8)/sqrt(512*8)
+    assert np.all(np.abs(g[1:]) < 5 * (1 / 8) / np.sqrt(512))
+    assert g[0] > 0.08
+
+
+def test_snapshot_path_for_epoch_dotted_paths(tmp_path):
+    from normflow__tpu.training.checkpoint import snapshot_path_for_epoch
+
+    assert (snapshot_path_for_epoch("/data/run.32x32/model.msgpack", 5)
+            == "/data/run.32x32/model.E5.msgpack")
+    assert (snapshot_path_for_epoch("model.final.msgpack", 7)
+            == "model.final.E7.msgpack")
+    # an existing .E<n> suffix is replaced, not stacked
+    assert (snapshot_path_for_epoch("model.E5.msgpack", 9)
+            == "model.E9.msgpack")

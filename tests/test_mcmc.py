@@ -202,3 +202,30 @@ def test_parallel_chains_sharded():
     model.device_handler.use_mesh(n_devices=4)
     out = model.mcmc.sample_parallel_chains(4, 64)
     assert out["logq"].shape == (4, 64)
+
+
+def test_report_summary_after_scanned_samplers():
+    """sample_chain records only accept_rate; report_summary must not
+    crash on the empty logq/logp lists (round-2 review regression)."""
+    model = _zerodim_model()
+    model.fit(n_epochs=50, batch_size=64,
+              hyperparam=dict(lr=0.01, weight_decay=0.0),
+              checkpoint_dict=dict(print_stride=None), steps_per_call=50)
+    model.mcmc.sample_chain(3, 32)
+    out = model.mcmc.history.report_summary()
+    assert "accept_rate" in out and "logqp" not in out
+    # the classic sampler fills the full summary
+    model.mcmc.sample__(batch_size=64, bookkeeping=True)
+    out2 = model.mcmc.history.report_summary(asstr=True)
+    assert set(out2) >= {"logqp", "logz", "accept_rate"}
+
+
+def test_fit_print_stride_zero_and_save_every_zero(tmp_path):
+    """print_stride=0 must disable evals (not ZeroDivisionError); a
+    snapshot path with save_every=0 must not divide by zero."""
+    model = _zerodim_model()
+    model.fit(n_epochs=12, batch_size=32, save_every=0,
+              hyperparam=dict(lr=0.01, weight_decay=0.0),
+              checkpoint_dict=dict(
+                  print_stride=0,
+                  snapshot_path=str(tmp_path / "snap.msgpack")))

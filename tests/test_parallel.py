@@ -222,3 +222,16 @@ def test_compiled_collective_structure():
     txt2 = (step.lower(m.net_, fit.opt_state, jax.random.key(1), 64)
             .compile().as_text())
     assert "all-reduce" in txt2, "training step lost its gradient psum"
+
+
+def test_use_mesh_axes_order_insensitive():
+    """axes={'space':..., 'data':...} must shard the batch over 'data'
+    regardless of dict order (used to build P('space','space',...))."""
+    m = _model(seed=2)
+    m.device_handler.use_mesh(axes={"space": 2, "data": 4})
+    assert m.device_handler.data_axis == "data"
+    assert m.device_handler.space_axis == "space"
+    y, logq, logp = m.posterior.sample__(batch_size=8)
+    assert np.isfinite(np.asarray(logq)).all()
+    with pytest.raises(ValueError, match="batch axis"):
+        _model(seed=2).device_handler.use_mesh(axes={"space": 8})
