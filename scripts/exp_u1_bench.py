@@ -31,6 +31,10 @@ def main():
     p.add_argument("--steps_per_call", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n_cycles", type=int, default=2)
+    p.add_argument("--knots_len", type=int, default=8)
+    p.add_argument("--hidden", type=int, nargs="*", default=[16])
+    p.add_argument("--tag", default="u1")
     args = p.parse_args()
 
     import optax
@@ -42,7 +46,9 @@ def main():
     from normflow__tpu.mcmc import estimate_accept_rate
 
     model = build_u1_model((args.lat, args.lat), beta=args.beta,
-                           seed=args.seed)
+                           seed=args.seed, n_cycles=args.n_cycles,
+                           knots_len=args.knots_len,
+                           hidden=tuple(args.hidden))
     t0 = time.time()
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
               hyperparam=dict(lr=args.lr, weight_decay=0.0),
@@ -74,6 +80,8 @@ def main():
     q = pang.sum(axis=(1, 2)) / (2 * np.pi)
     exact = float(special.iv(1, args.beta) / special.iv(0, args.beta))
     print(json.dumps({
+        "tag": args.tag, "n_cycles": args.n_cycles,
+        "knots_len": args.knots_len, "hidden": args.hidden, "lr": args.lr,
         "lat": args.lat, "beta": args.beta,
         "train_epochs": args.train_epochs,
         "train_time_s": round(train_time, 1),
