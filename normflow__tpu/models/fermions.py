@@ -73,7 +73,7 @@ def _site_tables(lat_shape, antiperiodic_time=True):
         else:
             sgn_plus.append(np.ones(coords.shape[1]))
             sgn_minus.append(np.ones(coords.shape[1]))
-    return nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus
+    return nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus, coords
 
 
 def staggered_dirac_matrix(links, mass, *, antiperiodic_time=True):
@@ -91,7 +91,7 @@ def staggered_dirac_matrix(links, mass, *, antiperiodic_time=True):
     u = links.reshape(batch, ndim, V)
 
     tables = _site_tables(lat_shape, antiperiodic_time)
-    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = tables
+    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = tables[:5]
 
     rows = jnp.arange(V)
     D = jnp.zeros((batch, V, V), dtype=u.dtype)
@@ -112,11 +112,8 @@ def _eo_tables(lat_shape, antiperiodic_time=True):
     """Even/odd-block index tables for the Schur-complement construction."""
     lat_shape = tuple(lat_shape)
     V = int(np.prod(lat_shape))
-    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus = _site_tables(
+    nbr_plus, nbr_minus, eta, sgn_plus, sgn_minus, coords = _site_tables(
         lat_shape, antiperiodic_time)
-    coords = np.stack(np.meshgrid(
-        *[np.arange(n) for n in lat_shape], indexing="ij"),
-        axis=0).reshape(len(lat_shape), -1)
     parity = coords.sum(axis=0) % 2
     even = np.nonzero(parity == 0)[0]
     pos = np.full(V, -1, dtype=np.int64)  # linear index -> position in block
@@ -184,6 +181,10 @@ class StaggeredFermionLogDet(Pytree):
     method: str = static(default="schur")
 
     def __call__(self, cfgs):
+        if self.lat_shape and tuple(cfgs.shape[2:]) != tuple(self.lat_shape):
+            raise ValueError(
+                f"configs have lattice {tuple(cfgs.shape[2:])} but this "
+                f"log-det was built for {tuple(self.lat_shape)}")
         if self.method == "schur":
             A = staggered_eo_hopping(
                 cfgs, antiperiodic_time=self.antiperiodic_time)
@@ -216,6 +217,7 @@ class SchwingerAngleAction(Pytree):
     mass: float = static(default=0.1)
     n_copies: int = static(default=1)
     antiperiodic_time: bool = static(default=True)
+    method: str = static(default="schur")
 
     def __call__(self, theta):
         return self.action(theta)
@@ -226,7 +228,7 @@ class SchwingerAngleAction(Pytree):
         gauge = U1AngleAction(beta=self.beta).action(theta)
         logdet = StaggeredFermionLogDet(
             lat_shape=self.lat_shape, mass=self.mass,
-            n_copies=self.n_copies,
+            n_copies=self.n_copies, method=self.method,
             antiperiodic_time=self.antiperiodic_time)(theta)
         return gauge - logdet
 
@@ -240,7 +242,7 @@ class SchwingerAngleAction(Pytree):
 
 
 def build_schwinger_action(*, beta, lat_shape, mass=0.1, n_copies=1,
-                           antiperiodic_time=True):
+                           antiperiodic_time=True, method="schur"):
     """A working Schwinger-model action: Wilson U(1) gauge part + exact
     staggered-fermion log-det (what reference schwinger_action.py:13-41
     sketches)."""
@@ -250,4 +252,4 @@ def build_schwinger_action(*, beta, lat_shape, mass=0.1, n_copies=1,
         beta=beta, ndim=len(lat_shape),
         logdet_func=StaggeredFermionLogDet(
             lat_shape=tuple(lat_shape), mass=mass, n_copies=n_copies,
-            antiperiodic_time=antiperiodic_time))
+            method=method, antiperiodic_time=antiperiodic_time))

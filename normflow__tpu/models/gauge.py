@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops import spline as sp
 from ..struct import Pytree, static
-from .core import Flow, sum_density
+from .core import Flow
 from .elementwise import softplus_log2
 
 __all__ = ["U1PlaquetteCoupling", "U1AngleAction", "u1_plaq_angle",

@@ -195,8 +195,12 @@ class ZebraPlanarMask:
 
     def cat(self, x_white, x_black):
         white, black = self._inds()
+        # reconstruct from the ACTUAL partition sizes: for an odd extent
+        # the parity slices differ by one plane, so doubling one of them
+        # would build the wrong shape (cf. AlongAxisEvenOddPartitioner.cat)
         shape = list(x_white.shape)
-        shape[1 + self.nu] *= 2
+        shape[1 + self.nu] = (x_white.shape[1 + self.nu]
+                              + x_black.shape[1 + self.nu])
         x = jnp.zeros(shape, dtype=x_white.dtype)
         x = x.at[white].set(x_white)
         x = x.at[black].set(x_black)
@@ -208,10 +212,13 @@ class ZebraPlanarMask:
 
     @property
     def subshape(self):
+        """Shape of the ``parity`` partition (the larger one when the
+        striped extent is odd)."""
         if self.shape is None:
             raise ValueError("shape of the underlying lattice is not defined.")
         sub = list(self.shape)
-        sub[self.nu] //= 2
+        n = sub[self.nu]
+        sub[self.nu] = (n - self.parity + 1) // 2
         return sub
 
 

@@ -57,7 +57,10 @@ class HashableArray:
     __slots__ = ("value", "_hash")
 
     def __init__(self, value):
-        value = np.asarray(value)
+        # copy before freezing: np.asarray returns the SAME object for an
+        # ndarray input, and setflags would make the caller's array
+        # read-only behind their back
+        value = np.array(value, copy=True)
         value.setflags(write=False)
         object.__setattr__(self, "value", value)
         object.__setattr__(self, "_hash", hash((value.shape, str(value.dtype), value.tobytes())))
@@ -176,10 +179,14 @@ def trainable_mask(tree) -> Any:
 
 
 def tree_size(tree) -> int:
+    """Element count of the TRAINABLE leaves (skips ``Const`` subtrees --
+    e.g. a refreshed control batch would otherwise inflate ``npar`` by
+    batch x volume)."""
     return sum(
         np.size(leaf)
-        for leaf in jax.tree_util.tree_leaves(tree)
-        if hasattr(leaf, "shape")
+        for leaf in jax.tree_util.tree_leaves(
+            tree, is_leaf=lambda x: isinstance(x, Const))
+        if not isinstance(leaf, Const) and hasattr(leaf, "shape")
     )
 
 

@@ -179,3 +179,25 @@ def test_schwinger_action_end_to_end(rng):
     ld = StaggeredFermionLogDet(lat_shape=lat, mass=0.3, n_copies=2)
     np.testing.assert_allclose(s_full, s_gauge - np.asarray(ld(links)),
                                rtol=1e-12)
+
+
+def test_schwinger_builders_plumb_method(rng):
+    """Odd-extent lattices need method='dense'; the public builders must
+    expose it (the guard's own advice was otherwise unreachable)."""
+    lat = (3, 4)
+    act = build_schwinger_action(beta=2.0, lat_shape=lat, mass=0.3,
+                                 method="dense")
+    links = jnp.asarray(_random_links(rng, lat=lat, batch=2))
+    assert np.isfinite(np.asarray(act(links))).all()
+    from normflow__tpu.models.fermions import SchwingerAngleAction
+    ang = SchwingerAngleAction(beta=2.0, lat_shape=lat, mass=0.3,
+                               method="dense")
+    theta = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(2, 2, *lat)))
+    assert np.isfinite(np.asarray(ang(theta))).all()
+
+
+def test_logdet_lat_shape_mismatch_raises(rng):
+    ld = StaggeredFermionLogDet(lat_shape=(4, 4), mass=0.3)
+    links = jnp.asarray(_random_links(rng, lat=(2, 6), batch=1))
+    with pytest.raises(ValueError, match="built for"):
+        ld(links)

@@ -461,3 +461,16 @@ def test_circular_conv_even_kernel_matches_torch(rng, key):
                                   dtype=torch.float64)
                      ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_zebra_mask_odd_extent_roundtrip(rng):
+    """split -> cat must reconstruct for odd striped extents (the parity
+    slices differ by one plane)."""
+    from normflow__tpu.models.masks import ZebraPlanarMask
+
+    for shape, parity in [((4, 5), 0), ((4, 5), 1), ((3, 4), 0)]:
+        z = ZebraPlanarMask(mu=0, nu=1, parity=parity, shape=shape)
+        x = jnp.asarray(rng.standard_normal((2, *shape)))
+        w, b = z.split(x)
+        assert w.shape[1 + z.nu] == z.subshape[z.nu]
+        np.testing.assert_allclose(np.asarray(z.cat(w, b)), np.asarray(x))

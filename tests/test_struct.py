@@ -69,7 +69,10 @@ def test_const_pytree():
     c = Const(jnp.ones(3))
     leaves = jax.tree_util.tree_leaves(c)
     assert len(leaves) == 1
-    assert tree_size(c) == 3
+    # tree_size counts TRAINABLE elements: Const leaves are excluded
+    # (npar parity with the reference, which never sees control batches)
+    assert tree_size(c) == 0
+    assert tree_size({"w": jnp.ones((2, 2)), "c": c}) == 4
 
 
 def test_repr():
@@ -87,3 +90,23 @@ def test_profiling_utils():
     with Timer("t", verbose=False) as t:
         pass
     assert t.elapsed >= 0
+
+
+def test_hashable_array_copies_input():
+    """HashableArray must not freeze the CALLER's array (np.asarray
+    returns the same object; setflags would make it read-only)."""
+    from normflow__tpu.struct import HashableArray
+
+    a = np.arange(4.0)
+    HashableArray(a)
+    a[0] = 99.0  # must still be writable
+    assert a[0] == 99.0
+
+
+def test_npar_skips_const_leaves():
+    """npar counts TRAINABLE elements only -- Const-wrapped leaves (e.g.
+    refreshed control batches) are excluded."""
+    from normflow__tpu.struct import Const, tree_size
+
+    tree = {"w": np.zeros((3, 3)), "ctrl": Const(np.zeros((100, 100)))}
+    assert tree_size(tree) == 9
