@@ -80,6 +80,41 @@ def bootstrap_ess_err(logqp, n_boot=200, seed=123):
     return float(np.std(vals))
 
 
+def _probe_backend(max_tries=7):
+    """Wait (bounded) for a healthy JAX backend before committing to the run.
+
+    The tunneled TPU needs ~15-20 min to recover after a wedged client;
+    worse, a failed backend init is CACHED in-process -- so each probe runs
+    in a FRESH subprocess and the main process only touches jax.devices()
+    once a probe has succeeded.  On final failure, print a one-line
+    diagnostic JSON (the driver's contract) and exit 0 instead of dumping a
+    traceback with rc=1 (round-2 BENCH capture failure mode).
+    """
+    import subprocess
+    import sys
+
+    delays = [0, 30, 60, 120, 240, 420, 420][:max_tries]
+    last_err = ""
+    for d in delays:
+        time.sleep(d)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices()[0]; print(d.platform)"],
+                capture_output=True, text=True, timeout=300)
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            last_err = (r.stdout + r.stderr).strip()[-500:]
+        except subprocess.TimeoutExpired:
+            last_err = "backend probe timed out after 300 s"
+    print(json.dumps({
+        "metric": "effective samples/s/chip (BACKEND UNAVAILABLE)",
+        "value": 0.0, "unit": "eff_samples/s/chip", "vs_baseline": 0.0,
+        "platform": "unavailable", "error": last_err,
+    }))
+    sys.exit(0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train_epochs", type=int, default=24000)
@@ -89,6 +124,10 @@ def main():
     p.add_argument("--steps_per_call", type=int, default=1000)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--lat", type=int, default=32)
+    p.add_argument("--n_layers", type=int, default=4,
+                   help="coupling layers (capacity experiments)")
+    p.add_argument("--knots", type=int, default=12)
+    p.add_argument("--hidden", type=int, nargs="*", default=[24, 24])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--grad_estimator", default="path",
@@ -97,11 +136,15 @@ def main():
                    help="global grad-norm clip for the training phase")
     args = p.parse_args()
 
+    _probe_backend()
+
     import optax
 
     from __graft_entry__ import _flagship_model
 
-    model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed)
+    model = _flagship_model(lat_shape=(args.lat, args.lat), seed=args.seed,
+                            n_layers=args.n_layers, knots=args.knots,
+                            hidden=tuple(args.hidden))
 
     t0 = time.time()
     model.fit(n_epochs=args.train_epochs, batch_size=args.train_batch,
@@ -221,6 +264,7 @@ def main():
         "accept_rate": round(accept, 4),
         "accept_rate_err": round(accept_err, 4),
         "train_epochs": args.train_epochs,
+        "n_layers": args.n_layers,
         "grad_estimator": args.grad_estimator,
         "sampling_backend": best_backend,
         "backend_medians_s": {b: round(v, 4) for b, v in med.items()},

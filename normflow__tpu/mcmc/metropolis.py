@@ -27,11 +27,41 @@ __all__ = [
 # ===================================================================== #
 # Device-side accept/reject scan
 # ===================================================================== #
+@partial(jax.jit, static_argnums=(3,))
+def _accept_scan_core(lrand, logqp, logqp_ref, tau=None):
+    """The accept/reject chain recurrence as a ``lax.scan``, parameterized
+    by the log-acceptance rule: standard Metropolis (``tau=None``,
+    ``log P_acc = x`` with ``x = logqp_ref - logqp``) or the modified rule
+    ``log P_acc = -(tau x^2 + relu(-x))`` (reference mcmc.py:355-375).
+
+    This single scan is the framework's ONE implementation of the chain
+    recurrence; the device sampler (:func:`accept_scan`) and the host
+    utilities (:class:`Metropolis`) are both thin fronts over it.
+    """
+    if tau is None:
+        log_acc = lambda x: x
+    else:
+        log_acc = lambda x: -(tau * x * x + jax.nn.relu(-x))
+
+    def step(carry, inp):
+        ref, idx_ref = carry
+        lr, lqp, i = inp
+        accept = lr < log_acc(ref - lqp)
+        ref = jnp.where(accept, lqp, ref)
+        idx = jnp.where(accept, i + 1, idx_ref)
+        return (ref, idx), (accept, idx)
+
+    iota = jnp.arange(logqp.shape[0])
+    (_, _), (accept_seq, indices) = jax.lax.scan(
+        step, (logqp_ref, jnp.asarray(0)), (lrand, logqp, iota))
+    return accept_seq, indices
+
+
 @jax.jit
 def accept_scan(key, logqp, logqp_ref):
     """Metropolis accept/reject over a chain of proposals (on device).
 
-    Functional port of ``Metropolis.calc_accept_status`` +
+    TPU-native replacement of ``Metropolis.calc_accept_status`` +
     ``calc_accept_indices`` (reference mcmc.py:304-328): proposal ``i`` is
     accepted iff ``log u_i < logqp_ref - logqp_i`` with ``logqp_ref`` the
     running value of the last accepted proposal.
@@ -40,93 +70,74 @@ def accept_scan(key, logqp, logqp_ref):
     incoming reference state" or ``j+1`` meaning "proposal j" -- i.e. indices
     into arrays extended with the reference at position 0.
     """
-    n = logqp.shape[0]
-    lrand = jnp.log(jax.random.uniform(key, (n,), logqp.dtype))
-
-    def step(carry, inp):
-        ref, idx_ref = carry
-        lr, lqp, i = inp
-        accept = lr < (ref - lqp)
-        ref = jnp.where(accept, lqp, ref)
-        idx = jnp.where(accept, i + 1, idx_ref)
-        return (ref, idx), (accept, idx)
-
-    iota = jnp.arange(n)
-    (_, _), (accept_seq, indices) = jax.lax.scan(
-        step, (logqp_ref, jnp.asarray(0)), (lrand, logqp, iota))
-    return accept_seq, indices
+    lrand = jnp.log(jax.random.uniform(key, logqp.shape, logqp.dtype))
+    return _accept_scan_core(lrand, logqp, logqp_ref)
 
 
 # ===================================================================== #
-# Host-side scan (for resampled accept-rate estimation)
+# Host-side utilities (for resampled accept-rate estimation).  The chain
+# recurrence delegates to the device scan above; the statistics helpers
+# are closed-form vectorized numpy.
 # ===================================================================== #
 class Metropolis:
-    """Static Metropolis utilities (reference mcmc.py:298-352)."""
+    """Static Metropolis utilities (reference API: mcmc.py:298-352)."""
 
-    @staticmethod
-    def calc_accept_status(logqp, logqp_ref=None, rng=None):
-        """Sequential accept/reject over a numpy chain (host-side)."""
-        logqp = np.asarray(logqp)
+    _tau = None  # standard rule; ModifiedMetropolis overrides
+
+    @classmethod
+    def calc_accept_status(cls, logqp, logqp_ref=None, tau=None, rng=None):
+        """Accept/reject status over a proposal chain.
+
+        Host front over :func:`_accept_scan_core`: the uniforms come from a
+        (seedable) numpy ``rng``, the recurrence runs as the same compiled
+        scan the production sampler uses.
+        """
+        logqp = np.asarray(logqp, dtype=np.float32)
         rng = np.random.default_rng() if rng is None else rng
-        if logqp_ref is None:
-            logqp_ref = logqp[0]
-        status = np.empty(len(logqp), dtype=bool)
-        lrand = np.log(rng.random(logqp.shape[0]))
-        for i, lqp in enumerate(logqp):
-            status[i] = lrand[i] < (logqp_ref - lqp)
-            if status[i]:
-                logqp_ref = lqp
-        return status
+        ref = logqp[0] if logqp_ref is None else np.float32(logqp_ref)
+        lrand = np.log(rng.random(logqp.shape[0], dtype=np.float32))
+        tau = cls._tau if tau is None else float(tau)
+        status, _ = _accept_scan_core(
+            jnp.asarray(lrand), jnp.asarray(logqp), jnp.asarray(ref), tau)
+        return np.asarray(status)
 
     @staticmethod
     def calc_accept_indices(accept_seq):
-        """Compaction indices from an accept sequence (mcmc.py:319-328)."""
-        indices = np.arange(len(accept_seq))
-        cntr = 0
-        for ind, accept in enumerate(accept_seq):
-            if accept:
-                cntr = ind
-            else:
-                indices[ind] = cntr
-        return indices
+        """Compaction indices: ``indices[i]`` = index of the last accepted
+        proposal at or before ``i`` (0 when none yet).  A running maximum
+        over accepted positions -- one ``np.maximum.accumulate``."""
+        accept_seq = np.asarray(accept_seq)
+        n = len(accept_seq)
+        return np.maximum.accumulate(
+            np.where(accept_seq, np.arange(n), 0))
 
     @staticmethod
     def calc_accept_count(accept_seq):
-        """Repetitions until the next accepted configuration (mcmc.py:330-336)."""
-        ind = np.where(accept_seq)[0]
-        return ind[1:] - ind[:-1]
+        """Gaps between consecutive accepted positions."""
+        return np.diff(np.flatnonzero(accept_seq))
 
     @staticmethod
     def calc_tau_rejections_prob(accept_seq, max_tau=100):
-        """Probability of tau rejections in a row (mcmc.py:338-352)."""
+        """P(tau+1 rejections in a row), tau = 0..max_tau-1, via windowed
+        counts on the rejection indicator's prefix sums: a window of length
+        L is all-rejected iff its prefix-sum increment equals L."""
+        rej = np.asarray(accept_seq) == False  # noqa: E712 (bool arrays)
+        csum = np.concatenate([[0], np.cumsum(rej)])
         p_tau = np.zeros(max_tau)
-        rej_seq = ~np.asarray(accept_seq)
-        tau_rej_seq = rej_seq
-        p_tau[0] = np.mean(tau_rej_seq)
-        for i in range(1, max_tau):
-            tau_rej_seq = tau_rej_seq[:-1] & rej_seq[i:]
-            p_tau[i] = np.mean(tau_rej_seq)
+        for tau in range(min(max_tau, len(rej))):
+            length = tau + 1
+            p_tau[tau] = np.mean((csum[length:] - csum[:-length]) == length)
         return p_tau
 
 
 class ModifiedMetropolis(Metropolis):
     """Modified acceptance rule ``exp(-(tau x^2 + relu(-x)))``
-    (reference mcmc.py:355-375)."""
+    (reference API: mcmc.py:355-375).  Only the default rule differs from
+    :class:`Metropolis` -- pass ``tau`` to ``calc_accept_status`` to tune it
+    (``tau=0`` keeps the relu term, which is decision-equivalent to the
+    standard rule since ``log u <= 0``)."""
 
-    @staticmethod
-    def calc_accept_status(logqp, logqp_ref=None, tau=0, rng=None):
-        logqp = np.asarray(logqp)
-        rng = np.random.default_rng() if rng is None else rng
-        if logqp_ref is None:
-            logqp_ref = logqp[0]
-        status = np.empty(len(logqp), dtype=bool)
-        lrand = np.log(rng.random(logqp.shape[0]))
-        for i, lqp in enumerate(logqp):
-            x = logqp_ref - lqp
-            status[i] = lrand[i] < -(tau * x**2 + (-x if x < 0 else 0.0))
-            if status[i]:
-                logqp_ref = lqp
-        return status
+    _tau = 0.0
 
 
 def estimate_accept_rate(logqp, n_resamples=10, method="shuffling", seed=None):
@@ -203,13 +214,19 @@ class MCMCSampler:
         return yn, logqn, logpn
 
     def sample_chain(self, n_batches, batch_size, key=None,
-                     collect_samples=False):
+                     collect_samples=False, bookkeeping=False):
         """Run many Metropolis rounds in one device program.
 
         Returns a dict with per-round ``accept_rate`` (n_batches,),
         corrected ``logq``/``logp`` streams (n_batches, batch_size), and
         (if ``collect_samples``) all corrected samples.  The persistent
         ``_ref`` chain state is consumed and updated exactly as ``sample__``.
+
+        ``bookkeeping=True`` additionally collects the RAW per-round
+        ``logq``/``logp`` proposal streams and the accept sequence inside
+        the scan and records everything in :attr:`history` (the scanned
+        equivalent of ``sample__(bookkeeping=True)``; reference
+        mcmc.py:30-44).
         """
         m = self._model
         key = m.next_key() if key is None else key
@@ -231,19 +248,27 @@ class MCMCSampler:
                 jax.tree_util.tree_leaves(self._ref["sample"])[0]).dtype
             carry0 = (self._ref["sample"], jnp.asarray(self._ref["logq"], dt),
                       jnp.asarray(self._ref["logp"], dt))
-        carry, (ys, logq, logp, accept_rate) = _chain_scan(
+        carry, (ys, logq, logp, accept_rate, raw) = _chain_scan(
             m.net_, m.prior, m.action, key, carry0, n_batches, batch_size,
-            collect_samples)
+            collect_samples, m.device_handler.batch_sharder(), bookkeeping)
         self._ref = dict(sample=carry[0], logq=carry[1], logp=carry[2])
         for r in jax.device_get(accept_rate):
             self.history.bookkeeping(accept_rate=float(r))
+        if bookkeeping:
+            raw_logq, raw_logp, accept_seq = map(np.asarray, raw)
+            for i in range(n_batches):
+                self.history.bookkeeping(
+                    raw_logq=raw_logq[i], raw_logp=raw_logp[i],
+                    logq=np.asarray(logq[i]), logp=np.asarray(logp[i]),
+                    accept_seq=accept_seq[i],
+                    accept_ind=Metropolis.calc_accept_indices(accept_seq[i]))
         out = dict(logq=logq, logp=logp, accept_rate=accept_rate)
         if collect_samples:
             out["samples"] = ys
         return out
 
     def sample_parallel_chains(self, n_rounds, n_chains, key=None,
-                               collect_samples=False):
+                               collect_samples=False, bookkeeping=False):
         """Run ``n_chains`` INDEPENDENT Metropolis chains for ``n_rounds``.
 
         Each chain receives one proposal per round and accepts/rejects
@@ -261,11 +286,23 @@ class MCMCSampler:
         """
         m = self._model
         key = m.next_key() if key is None else key
-        carry, (ys, logq, logp, accept_rate) = _parallel_chains_scan(
+        carry, (ys, logq, logp, accept, raw) = _parallel_chains_scan(
             m.net_, m.prior, m.action, key, n_rounds, n_chains,
-            collect_samples)
-        for r in jax.device_get(accept_rate):
+            collect_samples, m.device_handler.batch_sharder(), bookkeeping)
+        # per-round rates from the per-chain accept flags, ON HOST: keeps
+        # the compiled sampler free of cross-chip collectives (a mean over
+        # the sharded chains axis would lower to an all-reduce per round)
+        accept_np = np.asarray(jax.device_get(accept))
+        accept_rate = np.mean(accept_np, axis=1)
+        for r in accept_rate:
             self.history.bookkeeping(accept_rate=float(r))
+        if bookkeeping:
+            raw_logq, raw_logp = map(np.asarray, raw)
+            for i in range(n_rounds):
+                self.history.bookkeeping(
+                    raw_logq=raw_logq[i], raw_logp=raw_logp[i],
+                    logq=np.asarray(logq[i]), logp=np.asarray(logp[i]),
+                    accept_seq=accept_np[i])
         out = dict(logq=logq, logp=logp, accept_rate=accept_rate,
                    final_samples=carry[0])
         if collect_samples:
@@ -319,55 +356,77 @@ def _accept_reject_kernel(key, y, logq, logp, ref_y, ref_logq, ref_logp):
     return _accept_reject_core(key, y, logq, logp, ref_y, ref_logq, ref_logp)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _chain_scan(net, prior, action, key, carry0, n_batches, batch_size,
-                collect_samples):
+                collect_samples, sharder=None, bookkeeping=False):
     """Run ``n_batches`` propose+accept/reject rounds in ONE device program.
 
     The chain reference state ``(ref_sample, ref_logq, ref_logp)`` is the
     scan carry; per-round acceptance rates (and optionally all corrected
     samples) are collected.  This is the production sampler: zero Python
     between rounds.
+
+    On an attached mesh the PROPOSAL generation (prior draw + flow forward +
+    action -- all the FLOPs) is sharded over the 'data' axis; only the
+    (batch,)-sized logqp is gathered for the inherently sequential accept
+    scan, and the compaction gather runs on the sharded arrays.
     """
 
     def body(carry, k):
         ref_y, ref_lq, ref_lp = carry
         k1, k2 = jax.random.split(k)
         x, logr = prior.sample_(k1, batch_size)
+        if sharder is not None:
+            x = jax.tree_util.tree_map(sharder, x)
+            logr = sharder(logr)
         y, logj = net.forward(x)
         logq = logr - logj
         logp = -action(y)
         yn, lqn, lpn, accept = _accept_reject_core(
             k2, y, logq, logp, ref_y, ref_lq, ref_lp)
+        raw = (logq, logp, accept) if bookkeeping else jnp.zeros((0,))
         out = (yn if collect_samples else jnp.zeros((0,)),
-               lqn, lpn, jnp.mean(accept.astype(lqn.dtype)))
+               lqn, lpn, jnp.mean(accept.astype(lqn.dtype)), raw)
         return (yn[-1], lqn[-1], lpn[-1]), out
 
     keys = jax.random.split(key, n_batches)
     return jax.lax.scan(body, carry0, keys)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _parallel_chains_scan(net, prior, action, key, n_rounds, n_chains,
-                          collect_samples):
+                          collect_samples, sharder=None, bookkeeping=False):
     """n_chains independent chains, one proposal each per round; accepts are
-    elementwise (no scan over the batch)."""
+    elementwise (no scan over the batch).
+
+    THE multi-chip production sampler: on an attached mesh the proposals,
+    the per-chain reference states (the scan carry), and every output stream
+    are sharded over the 'data' axis, and the compiled program contains NO
+    cross-chip collectives -- chips run their chain shards fully
+    independently, so ESS/s scales linearly by construction (per-round
+    accept RATES are reduced on host, not in-program)."""
 
     def body(carry, k):
         ref_y, ref_lq, ref_lp = carry
         k1, k2 = jax.random.split(k)
         x, logr = prior.sample_(k1, n_chains)
+        if sharder is not None:
+            x = jax.tree_util.tree_map(sharder, x)
+            logr = sharder(logr)
         y, logj = net.forward(x)
         logq = logr - logj
         logp = -action(y)
         lrand = jnp.log(jax.random.uniform(k2, (n_chains,), logq.dtype))
+        if sharder is not None:
+            lrand = sharder(lrand)
         accept = lrand < (ref_lq - ref_lp) - (logq - logp)
         bshape = (n_chains,) + (1,) * (y.ndim - 1)
         yn = jnp.where(accept.reshape(bshape), y, ref_y)
         lqn = jnp.where(accept, logq, ref_lq)
         lpn = jnp.where(accept, logp, ref_lp)
+        raw = (logq, logp) if bookkeeping else jnp.zeros((0,))
         out = (yn if collect_samples else jnp.zeros((0,)),
-               lqn, lpn, jnp.mean(accept.astype(logq.dtype)))
+               lqn, lpn, accept, raw)
         return (yn, lqn, lpn), out
 
     probe = prior.sample(jax.random.key(0), n_chains)
@@ -375,6 +434,8 @@ def _parallel_chains_scan(net, prior, action, key, n_rounds, n_chains,
     carry0 = (jnp.zeros_like(probe),
               jnp.full((n_chains,), jnp.inf, dt),   # first proposal accepted
               jnp.zeros((n_chains,), dt))
+    if sharder is not None:
+        carry0 = jax.tree_util.tree_map(sharder, carry0)
     keys = jax.random.split(key, n_rounds)
     return jax.lax.scan(body, carry0, keys)
 

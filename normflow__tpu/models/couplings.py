@@ -456,25 +456,36 @@ def refresh_controls(flow, key, batch_size: int):
 
 def _map_subflows(fn, node):
     """Recursively rebuild a flow pytree, applying ``fn`` to every dataclass
-    node (children first, then the node itself)."""
+    node (children first, then the node itself).  Traverses dataclass
+    fields and tuple/list/dict containers -- a ``CntrCoupling`` stored in a
+    dict-valued field must not be silently skipped (its control would stay
+    stale)."""
     import dataclasses as _dc
 
     if _dc.is_dataclass(node) and not isinstance(node, type):
         changes = {}
         for f in _dc.fields(node):
             v = getattr(node, f.name)
-            if isinstance(v, (tuple, list)):
-                new_v = type(v)(_map_subflows(fn, item) for item in v)
-                if any(a is not b for a, b in zip(new_v, v)):
-                    changes[f.name] = new_v
-            else:
-                new_v = _map_subflows(fn, v)
-                if new_v is not v:
-                    changes[f.name] = new_v
+            new_v = _map_container(fn, v)
+            if new_v is not v:
+                changes[f.name] = new_v
         if changes:
             node = _dc.replace(node, **changes)
         return fn(node)
     return node
+
+
+def _map_container(fn, v):
+    """Apply :func:`_map_subflows` through (arbitrarily nested) tuple/list/
+    dict containers, preserving identity when nothing changed."""
+    if isinstance(v, (tuple, list)):
+        new_v = type(v)(_map_container(fn, item) for item in v)
+        return new_v if any(a is not b for a, b in zip(new_v, v)) else v
+    if isinstance(v, dict):
+        new_v = {k: _map_container(fn, item) for k, item in v.items()}
+        changed = any(new_v[k] is not v[k] for k in v)
+        return new_v if changed else v
+    return _map_subflows(fn, v)
 
 
 def CntrShiftCoupling(nets, *, mask, control_generator=None, **kwargs):

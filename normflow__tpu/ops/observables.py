@@ -42,18 +42,26 @@ def binder_cumulant(cfgs):
     return 1.0 - jnp.mean(m**4) / (3.0 * jnp.mean(m**2) ** 2)
 
 
-def two_point_function(cfgs, axis: int = 1):
-    """Connected zero-momentum 2-pt function along ``axis``: (B, L).
+def two_point_function(cfgs, axis: int = 1, connected: bool = True):
+    """Zero-momentum 2-pt function along ``axis``: (B, L).
 
-    The connected subtraction uses the ENSEMBLE mean over the batch:
-    subtracting each configuration's own slab mean squared would shift
-    every t-slice down by ~Var(m) = chi/V, which is not small near
-    criticality and biases effective-mass fits."""
+    With ``connected=True`` (default) the disconnected piece is subtracted
+    using the ENSEMBLE mean over the batch: subtracting each
+    configuration's own slab mean squared would shift every t-slice down by
+    ~Var(m) = chi/V, which is not small near criticality and biases
+    effective-mass fits.  NOTE that the subtraction makes the returned rows
+    depend on the batch composition -- they are NOT independent
+    per-configuration observables.  For jackknife/bootstrap over
+    configurations, call with ``connected=False`` (raw correlator rows ARE
+    independent) and subtract ``mean(cfgs_resample)**2`` inside each
+    resample."""
     other = tuple(d for d in range(1, cfgs.ndim) if d != axis)
     slab = jnp.mean(cfgs, axis=other) if other else cfgs  # (B, L)
     l = slab.shape[1]
     fk = jnp.fft.rfft(slab, axis=1)
     corr = jnp.fft.irfft(fk * jnp.conj(fk), n=l, axis=1) / l
+    if not connected:
+        return corr
     return corr - jnp.mean(slab) ** 2
 
 

@@ -66,6 +66,13 @@ def fold_key(key):
     return jax.random.fold_in(key, jax.process_index())
 
 
+def _identity_sharder(x):
+    """No-mesh sharder (module-level so its identity is stable: the sampling
+    programs take the sharder as a jit STATIC argument and must hit the
+    compile cache across calls)."""
+    return x
+
+
 class ModelDeviceHandler:
     """Per-model handle for device placement and data parallelism.
 
@@ -80,6 +87,7 @@ class ModelDeviceHandler:
         self.mesh: Mesh | None = None
         self.data_axis = "data"
         self.space_axis: str | None = None
+        self._sharder: Callable | None = None
 
     # -- topology ------------------------------------------------------ #
     @property
@@ -125,6 +133,7 @@ class ModelDeviceHandler:
         self.space_axis = ("space" if (axes and "space" in axes)
                           or (mesh is not None and "space" in mesh.axis_names)
                           else None)
+        self._sharder = None  # rebuild for the new mesh
         return self.mesh
 
     def distribute(self):
@@ -135,11 +144,19 @@ class ModelDeviceHandler:
         """A function constraining a batched array to ``P('data')``.
 
         Identity when no mesh is attached.  Applied inside the jitted train
-        step; everything downstream (flow, action, loss, gradients) is then
-        partitioned by XLA with collectives over the ICI.
+        step AND the production sampling/MCMC programs (they take it as a
+        static argument); everything downstream (flow, action, loss,
+        gradients) is then partitioned by XLA with collectives over the ICI.
+
+        The returned callable is CACHED per mesh so its identity is stable
+        -- the sampling programs (training/model.py, mcmc/metropolis.py)
+        pass it through ``jax.jit(static_argnums=...)`` and must not
+        re-trace on every call.
         """
         if self.mesh is None:
-            return lambda x: x
+            return _identity_sharder
+        if self._sharder is not None:
+            return self._sharder
         mesh, data, space = self.mesh, self.data_axis, self.space_axis
 
         def constrain(x):
@@ -150,6 +167,7 @@ class ModelDeviceHandler:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, spec))
 
+        self._sharder = constrain
         return constrain
 
     def replicate_params(self):
@@ -162,14 +180,17 @@ class ModelDeviceHandler:
 
     # -- parity shims --------------------------------------------------- #
     def all_gather_into_tensor(self, x):
-        """Cross-process gather of per-host arrays (reference
-        device/_core.py:87-95).  Under jit-sharded evaluation this is not
-        needed; provided for host-level code on multi-host setups."""
+        """Cross-process gather to a full host-local array (reference
+        device/_core.py:87-95).  Accepts either a per-host array (gathered
+        and concatenated along axis 0) or a globally-sharded ``jax.Array``
+        from a jitted eval (returned fully replicated) -- ``tiled=True``
+        is required for the latter and gives the concat semantics the
+        reference's NCCL all_gather_into_tensor has for the former."""
         if self.nranks == 1:
             return x
         from jax.experimental import multihost_utils
 
-        return multihost_utils.process_allgather(x)
+        return multihost_utils.process_allgather(x, tiled=True)
 
     def spawnprocesses(self, fn, nranks, *args, **kwargs):
         """The reference forks one process per GPU (device/_core.py:51-85).

@@ -44,8 +44,10 @@ class Fitter:
             loss=[], logqp=[], logz=[], ess=[], rho=[], accept_rate=[]
         )
         self.hyperparam = dict(lr=0.001, weight_decay=0.01)
+        # NB: the reference's dead `display` key is intentionally dropped
+        # (never read there either, _normflowcore.py:140); passing it via
+        # checkpoint_dict still works (stored, ignored).
         self.checkpoint_dict = dict(
-            display=False,
             print_stride=100,
             print_batch_size=1024,
             print_extra_func=None,
@@ -92,6 +94,19 @@ class Fitter:
         if save_every is None:
             save_every = n_epochs
         self.grad_estimator = grad_estimator
+        if grad_estimator == "path" and self.loss_fn is not losses.calc_kl_mean:
+            # the path estimator drops the score term, which is an unbiased
+            # simplification only for reverse-KL-style expectations
+            # E_q[log q - log p] (+ a logZ term, which has zero path
+            # gradient); with an arbitrary loss_fn it silently biases the
+            # gradient
+            import warnings
+
+            warnings.warn(
+                "grad_estimator='path' is unbiased only for the reverse-KL "
+                f"loss family; got loss_fn={getattr(self.loss_fn, '__name__', self.loss_fn)!r}. "
+                "The gradient may be biased -- use grad_estimator='rep'.",
+                stacklevel=2)
 
         from ..models.couplings import has_controls, refresh_controls
         self._has_controls = has_controls(self._model.net_)

@@ -77,7 +77,8 @@ class Posterior:
         m = self._model
         key = m.next_key() if key is None else key
         if preprocess_func is None:
-            return _sample_fn(m.net_, m.prior, key, batch_size)
+            return _sample_fn(m.net_, m.prior, key, batch_size,
+                              m.device_handler.batch_sharder())
         x, logr = m.prior.sample_(key, batch_size)
         x, logr = preprocess_func(x, logr)
         y, logj = m.net_.forward(x)
@@ -88,7 +89,8 @@ class Posterior:
         m = self._model
         key = m.next_key() if key is None else key
         if not kwargs:
-            return _sample_fn__(m.net_, m.prior, m.action, key, batch_size)
+            return _sample_fn__(m.net_, m.prior, m.action, key, batch_size,
+                                m.device_handler.batch_sharder())
         y, logq = self.sample_(batch_size, key=key, **kwargs)
         return y, logq, -m.action(y)
 
@@ -107,20 +109,33 @@ class Posterior:
         m = self._model
         key = m.next_key() if key is None else key
         logqp = _logqp_scan(m.net_, m.prior, m.action, key, n_batches,
-                            batch_size)
+                            batch_size, m.device_handler.batch_sharder())
         return logqp.reshape(-1)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _sample_fn(net, prior, key, batch_size):
+# The production sampling programs take the model's batch sharder as a
+# STATIC argument (a mesh-cached callable, parallel/mesh.py): on an attached
+# mesh the proposal batch is constrained to P('data') so the flow, action,
+# and logq all compile partitioned over chips -- multi-chip sampling
+# throughput scales with the mesh instead of every chip redundantly
+# computing the full batch (reference counterpart: DDP, device/_core.py).
+def _shard(sharder, tree):
+    """Apply a per-array sharder to a pytree (PriorList samples are tuples)."""
+    return jax.tree_util.tree_map(sharder, tree)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _sample_fn(net, prior, key, batch_size, sharder=None):
     x, logr = prior.sample_(key, batch_size)
+    if sharder is not None:
+        x, logr = _shard(sharder, x), sharder(logr)
     y, logj = net.forward(x)
     return y, logr - logj
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _sample_fn__(net, prior, action, key, batch_size):
-    y, logq = _sample_fn(net, prior, key, batch_size)
+@partial(jax.jit, static_argnums=(4, 5))
+def _sample_fn__(net, prior, action, key, batch_size, sharder=None):
+    y, logq = _sample_fn(net, prior, key, batch_size, sharder)
     return y, logq, -action(y)
 
 
@@ -131,10 +146,12 @@ def _log_prob_fn(net, prior, y):
     return logr + minus_logj
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _logqp_scan(net, prior, action, key, n_batches, batch_size):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _logqp_scan(net, prior, action, key, n_batches, batch_size, sharder=None):
     def body(_, k):
         x, logr = prior.sample_(k, batch_size)
+        if sharder is not None:
+            x, logr = _shard(sharder, x), sharder(logr)
         y, logj = net.forward(x)
         return None, (logr - logj) + action(y)
 

@@ -15,9 +15,12 @@ cd "$(dirname "$0")/.."
 
 run_with_retry() {
   local tag="$1"; shift
+  # the job line is a shell COMMAND STRING (eval'd): quoted arguments and
+  # paths with spaces survive, unlike unquoted word splitting
+  local cmd="$1"
   for attempt in 1 2 3 4 5; do
     local log="/tmp/job_${tag}.log"
-    python -u "$@" > "$log" 2>&1 &
+    eval "python -u $cmd" > "$log" 2>&1 &
     local pid=$!
     local ok=0
     # watchdog: the axon platform banner appears once backend init succeeds
@@ -38,7 +41,11 @@ run_with_retry() {
       echo "[$tag] attempt $attempt exited with status $status; retrying" >&2
       sleep 75; continue
     fi
-    grep "^{" "$log"
+    if ! grep "^{" "$log"; then
+      # a "successful" job that emitted no JSON result line is a failure
+      echo "[$tag] attempt $attempt exited 0 but printed no JSON line" >&2
+      sleep 75; continue
+    fi
     return 0
   done
   echo "[$tag] FAILED after retries" >&2
@@ -51,6 +58,6 @@ while read -r tag cmd; do
   case "$tag" in \#*) continue ;; esac
   [ $first -eq 0 ] && sleep 75
   first=0
-  run_with_retry "$tag" $cmd
+  run_with_retry "$tag" "$cmd"
 done < "$1"
 echo QUEUE_DONE

@@ -90,3 +90,29 @@ def test_cntr_coupling_with_generator(rng, key):
     c2 = c.refresh_control(jax.random.key(2), 4)
     y2, _ = c2.forward(x)
     assert not np.allclose(np.asarray(y2), np.asarray(y))
+
+
+def test_flagship_coarse_to_fine_transfer():
+    """The FULL flagship transfers across lattice sizes (coarse-to-fine,
+    reference fftflow_.py:187-209): spectral block via FFTFlow.transfer,
+    couplings by swapping the (static) mask, convs/DistConvertors are
+    resolution-free.  Invertibility and trainability must survive."""
+    from normflow__tpu.models import PackedEvenOddMask
+    from normflow__tpu.training.model import backward_sanitychecker
+    from normflow__tpu.zoo import build_phi4_model
+
+    m8 = build_phi4_model((8, 8), knots=4, hidden=(4,), n_layers=2, seed=0)
+    m8.fit(n_epochs=10, batch_size=32, hyperparam=dict(lr=1e-3),
+           checkpoint_dict=dict(print_stride=None), steps_per_call=10)
+    m16 = build_phi4_model((16, 16), knots=4, hidden=(4,), n_layers=2,
+                           seed=0)
+    m16.net_ = m8.net_.transfer(
+        shape=(16, 16), mask=PackedEvenOddMask(shape=(16, 16)))
+    y, logq, logp = m16.posterior.sample__(batch_size=8)
+    assert y.shape == (8, 16, 16)
+    assert np.isfinite(np.asarray(logq)).all()
+    xe, je = backward_sanitychecker(m16, n_samples=4, verbose=False)
+    assert xe < 1e-6 and je < 1e-6, (xe, je)
+    hist = m16.fit(n_epochs=3, batch_size=8, hyperparam=dict(lr=1e-3),
+                   checkpoint_dict=dict(print_stride=None))
+    assert np.isfinite(hist["loss"][-1])
