@@ -17,8 +17,14 @@ from normflow__tpu.ops import observables as obs
 def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
          n_epochs=4000, batch_size=512, chains=1024, chain_rounds=16,
          knots=8, hidden=(16, 16), n_layers=4, lr=3e-3, seed=0,
-         n_devices=None, steps_per_call=500):
+         n_devices=None, steps_per_call=500, multihost=False):
     import optax
+
+    if multihost:
+        # multi-process pod slice: must run before ANY backend-touching
+        # jax call (docs/DISTRIBUTED.md); single-host multi-device runs
+        # need no process group
+        nf.parallel.init_distributed()
 
     from __graft_entry__ import _flagship_model
 
@@ -30,7 +36,6 @@ def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
     if n_devices is None:
         n_devices = len(jax.devices())
     if n_devices > 1:
-        nf.parallel.init_distributed()
         model.device_handler.use_mesh(n_devices=n_devices)
         model.device_handler.replicate_params()
     print(f"devices={n_devices} params={model.net_.npar}")
@@ -42,8 +47,13 @@ def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
               steps_per_call=steps_per_call,
               checkpoint_dict=dict(print_stride=max(n_epochs // 8, 1)))
 
-    out = model.mcmc.sample_chain(chain_rounds, chains, collect_samples=True)
-    samples = np.asarray(out["samples"]).reshape(-1, *lat_shape)
+    # 1024 INDEPENDENT Metropolis chains, sharded over the mesh (the
+    # compiled sampler is collective-free -- ESS/s scales linearly with
+    # chips); first rounds are burn-in (round 0 = raw flow samples)
+    burn = min(4, chain_rounds - 1)
+    out = model.mcmc.sample_parallel_chains(chain_rounds + burn, chains,
+                                            collect_samples=True)
+    samples = np.asarray(out["samples"])[burn:].reshape(-1, *lat_shape)
     p2 = np.asarray(obs.phi2(jax.numpy.asarray(samples)))
     chi = float(obs.susceptibility(jax.numpy.asarray(samples)))
     tau = obs.integrated_autocorr_time(p2)
@@ -66,6 +76,7 @@ if __name__ == "__main__":
     add("--n_devices", type=int)
     add("--lr", type=float)
     add("--seed", type=int)
+    add("--multihost", action="store_true", default=None)
 
     args = {k: v for k, v in vars(parser.parse_args()).items()
             if v is not None}
