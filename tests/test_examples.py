@@ -52,3 +52,19 @@ def test_scalar_affine_8x8_integration():
     out = model.mcmc.sample_chain(8, 512)
     accept = float(np.asarray(out["accept_rate"]).mean())
     assert accept > 0.5, accept
+
+
+def test_scalar_64x64_distributed_example_smoke():
+    """BASELINE config 4 example at toy scale: sharded fit + parallel-chains
+    Metropolis with observables (runs multi-device on the virtual mesh)."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "scalar_64x64_distributed.py")
+    spec = importlib.util.spec_from_file_location("ex64", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    model = mod.main(lat_shape=(8, 8), n_epochs=10, batch_size=32, chains=32,
+                     chain_rounds=3, knots=4, hidden=(4,), n_layers=2,
+                     steps_per_call=10)
+    assert model.device_handler.mesh is not None  # ran sharded
