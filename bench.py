@@ -95,8 +95,12 @@ def _probe_backend(max_tries=7):
 
     delays = [0, 30, 60, 120, 240, 420, 420][:max_tries]
     last_err = ""
-    for d in delays:
+    for i, d in enumerate(delays):
         time.sleep(d)
+        # visible heartbeat: queue watchdogs (scripts/tpu_queue.sh) and
+        # humans tailing the log can tell "probing" from "hung"
+        print(f"[bench] backend probe attempt {i + 1}/{len(delays)}",
+              flush=True)
         try:
             r = subprocess.run(
                 [sys.executable, "-c",

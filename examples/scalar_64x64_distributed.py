@@ -53,12 +53,24 @@ def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
     burn = min(4, chain_rounds - 1)
     out = model.mcmc.sample_parallel_chains(chain_rounds + burn, chains,
                                             collect_samples=True)
-    samples = np.asarray(out["samples"])[burn:].reshape(-1, *lat_shape)
-    p2 = np.asarray(obs.phi2(jax.numpy.asarray(samples)))
-    chi = float(obs.susceptibility(jax.numpy.asarray(samples)))
-    tau = obs.integrated_autocorr_time(p2)
-    print(f"<phi^2> = {p2.mean():.5f} +- {p2.std() * np.sqrt(tau / len(p2)):.5f}"
-          f"   chi = {chi:.3f}   tau_int(phi^2) = {tau:.1f}"
+    gather = model.device_handler.all_gather_into_tensor  # multihost-safe
+    samples = np.asarray(gather(out["samples"]))[burn:]  # (rounds, chains, ...)
+    p2 = np.asarray(obs.phi2(jax.numpy.asarray(
+        samples.reshape(-1, *lat_shape)))).reshape(samples.shape[:2])
+    chi = float(obs.susceptibility(jax.numpy.asarray(
+        samples.reshape(-1, *lat_shape))))
+    # autocorrelation lives ALONG each chain (rounds axis); the flattened
+    # round-major stream interleaves independent chains and would read
+    # tau ~ 1 regardless of the true within-chain correlation.  The error
+    # bar uses the spread of independent per-chain means -- unbiased for
+    # any within-chain tau.
+    tau = float(np.mean([obs.integrated_autocorr_time(p2[:, c])
+                         for c in range(0, p2.shape[1],
+                                        max(p2.shape[1] // 32, 1))]))
+    mu_c = p2.mean(axis=0)
+    err = float(mu_c.std(ddof=1) / np.sqrt(mu_c.size))
+    print(f"<phi^2> = {p2.mean():.5f} +- {err:.5f}"
+          f"   chi = {chi:.3f}   tau_int(phi^2, per chain) = {tau:.1f}"
           f"   accept = {np.asarray(out['accept_rate']).mean():.3f}")
     return model
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.stats import Resampler, estimate_logz, fmt_val_err
+from ..training.model import _shard
 
 __all__ = [
     "MCMCSampler", "BlockedMCMCSampler", "MCMCHistory", "Metropolis",
@@ -85,21 +86,37 @@ class Metropolis:
     _tau = None  # standard rule; ModifiedMetropolis overrides
 
     @classmethod
-    def calc_accept_status(cls, logqp, logqp_ref=None, tau=None, rng=None):
+    def calc_accept_status(cls, logqp, logqp_ref=None, rng=None, tau=None):
         """Accept/reject status over a proposal chain.
 
         Host front over :func:`_accept_scan_core`: the uniforms come from a
-        (seedable) numpy ``rng``, the recurrence runs as the same compiled
-        scan the production sampler uses.
+        (seedable) numpy ``rng``; the recurrence runs as the same compiled
+        scan the production sampler uses, pinned to the LOCAL CPU backend
+        (host statistics must not depend on a possibly-remote accelerator),
+        with a plain-numpy fallback when no CPU backend is registered.
         """
         logqp = np.asarray(logqp, dtype=np.float32)
         rng = np.random.default_rng() if rng is None else rng
         ref = logqp[0] if logqp_ref is None else np.float32(logqp_ref)
         lrand = np.log(rng.random(logqp.shape[0], dtype=np.float32))
         tau = cls._tau if tau is None else float(tau)
-        status, _ = _accept_scan_core(
-            jnp.asarray(lrand), jnp.asarray(logqp), jnp.asarray(ref), tau)
-        return np.asarray(status)
+        cpu = _initialized_cpu_device()
+        if cpu is not None:
+            with jax.default_device(cpu):
+                status, _ = _accept_scan_core(
+                    jnp.asarray(lrand), jnp.asarray(logqp),
+                    jnp.asarray(ref), tau)
+            return np.asarray(status)
+        # numpy recurrence (host statistics must never block on a remote
+        # accelerator backend)
+        rule = (lambda x: x) if tau is None else (
+            lambda x: -(tau * x * x + max(-x, 0.0)))
+        status = np.empty(logqp.shape[0], dtype=bool)
+        for i in range(logqp.shape[0]):
+            status[i] = lrand[i] < rule(ref - logqp[i])
+            if status[i]:
+                ref = logqp[i]
+        return status
 
     @staticmethod
     def calc_accept_indices(accept_seq):
@@ -130,14 +147,33 @@ class Metropolis:
         return p_tau
 
 
+def _initialized_cpu_device():
+    """The local CPU device IF that backend is already initialized, else
+    None.  Deliberately never CALLS the backend-initialization machinery:
+    ``jax.local_devices(backend='cpu')`` initializes every platform in
+    ``JAX_PLATFORMS`` -- on a remote-accelerator config (axon/TPU tunnels)
+    that can block for minutes, which host-side statistics must never do."""
+    try:
+        from jax._src import xla_bridge
+
+        backend = xla_bridge._backends.get("cpu")  # initialized-only peek
+        return backend.local_devices()[0] if backend is not None else None
+    except Exception:
+        return None
+
+
 class ModifiedMetropolis(Metropolis):
     """Modified acceptance rule ``exp(-(tau x^2 + relu(-x)))``
-    (reference API: mcmc.py:355-375).  Only the default rule differs from
-    :class:`Metropolis` -- pass ``tau`` to ``calc_accept_status`` to tune it
-    (``tau=0`` keeps the relu term, which is decision-equivalent to the
-    standard rule since ``log u <= 0``)."""
+    (reference API: mcmc.py:355-375; its ``tau`` sits before ``rng``).
+    ``tau=0`` keeps the relu term, which is decision-equivalent to the
+    standard rule since ``log u <= 0``."""
 
     _tau = 0.0
+
+    @classmethod
+    def calc_accept_status(cls, logqp, logqp_ref=None, tau=0, rng=None):
+        return super().calc_accept_status(logqp, logqp_ref=logqp_ref,
+                                          rng=rng, tau=float(tau))
 
 
 def estimate_accept_rate(logqp, n_resamples=10, method="shuffling", seed=None):
@@ -255,11 +291,14 @@ class MCMCSampler:
         for r in jax.device_get(accept_rate):
             self.history.bookkeeping(accept_rate=float(r))
         if bookkeeping:
-            raw_logq, raw_logp, accept_seq = map(np.asarray, raw)
+            gather = m.device_handler.all_gather_into_tensor
+            raw_logq, raw_logp, accept_seq = (np.asarray(gather(r))
+                                              for r in raw)
+            logq_np, logp_np = np.asarray(gather(logq)), np.asarray(gather(logp))
             for i in range(n_batches):
                 self.history.bookkeeping(
                     raw_logq=raw_logq[i], raw_logp=raw_logp[i],
-                    logq=np.asarray(logq[i]), logp=np.asarray(logp[i]),
+                    logq=logq_np[i], logp=logp_np[i],
                     accept_seq=accept_seq[i],
                     accept_ind=Metropolis.calc_accept_indices(accept_seq[i]))
         out = dict(logq=logq, logp=logp, accept_rate=accept_rate)
@@ -291,17 +330,21 @@ class MCMCSampler:
             collect_samples, m.device_handler.batch_sharder(), bookkeeping)
         # per-round rates from the per-chain accept flags, ON HOST: keeps
         # the compiled sampler free of cross-chip collectives (a mean over
-        # the sharded chains axis would lower to an all-reduce per round)
-        accept_np = np.asarray(jax.device_get(accept))
+        # the sharded chains axis would lower to an all-reduce per round).
+        # gather() is required on multi-process meshes, where the sharded
+        # flags span non-addressable devices (no-op single-process)
+        gather = m.device_handler.all_gather_into_tensor
+        accept_np = np.asarray(gather(accept))
         accept_rate = np.mean(accept_np, axis=1)
         for r in accept_rate:
             self.history.bookkeeping(accept_rate=float(r))
         if bookkeeping:
-            raw_logq, raw_logp = map(np.asarray, raw)
+            raw_logq, raw_logp = (np.asarray(gather(r)) for r in raw)
+            logq_np, logp_np = np.asarray(gather(logq)), np.asarray(gather(logp))
             for i in range(n_rounds):
                 self.history.bookkeeping(
                     raw_logq=raw_logq[i], raw_logp=raw_logp[i],
-                    logq=np.asarray(logq[i]), logp=np.asarray(logp[i]),
+                    logq=logq_np[i], logp=logp_np[i],
                     accept_seq=accept_np[i])
         out = dict(logq=logq, logp=logp, accept_rate=accept_rate,
                    final_samples=carry[0])
@@ -377,8 +420,7 @@ def _chain_scan(net, prior, action, key, carry0, n_batches, batch_size,
         k1, k2 = jax.random.split(k)
         x, logr = prior.sample_(k1, batch_size)
         if sharder is not None:
-            x = jax.tree_util.tree_map(sharder, x)
-            logr = sharder(logr)
+            x, logr = _shard(sharder, x), sharder(logr)
         y, logj = net.forward(x)
         logq = logr - logj
         logp = -action(y)
@@ -411,8 +453,7 @@ def _parallel_chains_scan(net, prior, action, key, n_rounds, n_chains,
         k1, k2 = jax.random.split(k)
         x, logr = prior.sample_(k1, n_chains)
         if sharder is not None:
-            x = jax.tree_util.tree_map(sharder, x)
-            logr = sharder(logr)
+            x, logr = _shard(sharder, x), sharder(logr)
         y, logj = net.forward(x)
         logq = logr - logj
         logp = -action(y)

@@ -286,7 +286,7 @@ class PSDBlock(Flow):
     def backward(self, x, log0=0.0, *, density: bool = False):
         return self._apply(x, log0, density, inverse=True)
 
-    def _apply(self, x, log0, density, inverse):
+    def _validate_zeromode(self):
         ipsd = getattr(self.fftnet, "ipsd_net", None)
         if ipsd is not None and not getattr(ipsd, "ignore_zeromode", True):
             # the mean-field flow owns the zero mode: the FFT weight at
@@ -295,6 +295,9 @@ class PSDBlock(Flow):
             # moves it)
             raise ValueError(
                 "PSDBlock needs an fftnet built with ignore_zeromode=True")
+
+    def _apply(self, x, log0, density, inverse):
+        self._validate_zeromode()
         dims = tuple(range(1, x.ndim))
         rvol = float(np.prod(x.shape[1:])) ** 0.5
         x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))
@@ -311,6 +314,7 @@ class PSDBlock(Flow):
         """Forward pass returning the per-part intermediates (reference
         psd_.py:42-50 ``_hack``): ``[(x_mean, log0), (y_mf, logj_mf),
         (y_fft, logj_fft), (y, logJ)]``."""
+        self._validate_zeromode()  # same guard as forward/backward
         dims = tuple(range(1, x.ndim))
         rvol = float(np.prod(x.shape[1:])) ** 0.5
         x_mean = jnp.mean(x, axis=dims).reshape(-1, *([1] * len(dims)))

@@ -15,19 +15,23 @@ cd "$(dirname "$0")/.."
 
 run_with_retry() {
   local tag="$1"; shift
-  # the job line is a shell COMMAND STRING (eval'd): quoted arguments and
-  # paths with spaces survive, unlike unquoted word splitting
+  # the job line is a shell COMMAND STRING: quoted arguments and paths
+  # with spaces survive, unlike unquoted word splitting.  `bash -c` with
+  # exec keeps $! == the python PID (a plain `eval "..." &` would
+  # background a wrapper subshell, and the init watchdog's kill would
+  # orphan the python client -- the exact tunnel-wedging race this queue
+  # exists to prevent)
   local cmd="$1"
   for attempt in 1 2 3 4 5; do
     local log="/tmp/job_${tag}.log"
-    eval "python -u $cmd" > "$log" 2>&1 &
+    bash -c "exec python -u $cmd" > "$log" 2>&1 &
     local pid=$!
     local ok=0
     # watchdog: the axon platform banner appears once backend init succeeds
     for i in $(seq 1 48); do
       sleep 5
       if ! kill -0 "$pid" 2>/dev/null; then ok=2; break; fi
-      if grep -q "Platform 'axon' is experimental\|Not saving model snapshots\|^{" "$log"; then ok=1; break; fi
+      if grep -q "Platform 'axon' is experimental\|Not saving model snapshots\|backend probe attempt\|^{" "$log"; then ok=1; break; fi
     done
     if [ $ok -eq 0 ]; then
       echo "[$tag] attempt $attempt stuck at init; retrying" >&2
