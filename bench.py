@@ -115,6 +115,9 @@ def _probe_backend(max_tries=7):
         "metric": "effective samples/s/chip (BACKEND UNAVAILABLE)",
         "value": 0.0, "unit": "eff_samples/s/chip", "vs_baseline": 0.0,
         "platform": "unavailable", "error": last_err,
+        "note": ("TPU tunnel did not recover within the probe budget; "
+                 "last driver-independent on-chip measurement: see README "
+                 "round-2 results (235k eff samples/s/chip official pair)"),
     }))
     sys.exit(0)
 
