@@ -40,20 +40,30 @@ def main():
     p.add_argument("--prng", nargs="*", default=["threefry2x32", "rbg"])
     p.add_argument("--batches", type=int, nargs="*",
                    default=[1024, 2048, 4096])
+    p.add_argument("--backends", nargs="*",
+                   default=["xla", "xla_bf16", "pallas", "pallas_reg"],
+                   help="coupling backends; xla_bf16 = XLA coupling with "
+                        "bf16 conditioner convs (the round-2 winning arm)")
     args = p.parse_args()
 
     results = {}
     for prng in args.prng:
         jax.config.update("jax_default_prng_impl", prng)
         from __graft_entry__ import _flagship_model
+        from normflow__tpu.zoo import with_conv_compute_dtype
 
         model = _flagship_model(lat_shape=(args.lat, args.lat), seed=0)
-        for backend in ["xla", "pallas", "pallas_reg"]:
+        base_net = model.net_
+        for backend in args.backends:
             if backend != "xla" and jax.devices()[0].platform != "tpu":
                 continue
-            flows = list(model.net_.flows)
-            flows[2] = flows[2].replace(backend=backend)
-            model.net_ = model.net_.replace(flows=tuple(flows))
+            if backend == "xla_bf16":
+                net = with_conv_compute_dtype(base_net, "bfloat16")
+            else:
+                flows = list(base_net.flows)
+                flows[2] = flows[2].replace(backend=backend)
+                net = base_net.replace(flows=tuple(flows))
+            model.net_ = net
             for batch in args.batches:
                 sps = measure(model, batch, iters=args.iters)
                 key = f"{prng}/{backend}/b{batch}"
