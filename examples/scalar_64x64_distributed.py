@@ -17,7 +17,8 @@ from normflow__tpu.ops import observables as obs
 def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
          n_epochs=4000, batch_size=512, chains=1024, chain_rounds=16,
          knots=8, hidden=(16, 16), n_layers=4, lr=3e-3, seed=0,
-         n_devices=None, steps_per_call=500, multihost=False):
+         n_devices=None, steps_per_call=500, multihost=False,
+         coarse_epochs=0):
     import optax
 
     if multihost:
@@ -32,6 +33,26 @@ def main(lat_shape=(64, 64), kappa=0.6, m_sq=-2.4, lambd=0.5,
                             n_layers=n_layers, hidden=hidden)
     model.action = nf.action.ScalarPhi4Action(kappa=kappa, m_sq=m_sq,
                                               lambd=lambd)
+
+    if coarse_epochs > 0:
+        # coarse-to-fine: converge the flow at half the lattice size and
+        # transfer up -- the measured-best init for large lattices
+        # (docs/TRAINING.md "Scaling to larger lattices": 64x64 zero-shot
+        # transfer beats 24k from-scratch epochs)
+        coarse_shape = tuple(s // 2 for s in lat_shape)
+        coarse = _flagship_model(lat_shape=coarse_shape, knots=knots,
+                                 seed=seed, n_layers=n_layers,
+                                 hidden=hidden)
+        coarse.action = model.action
+        coarse.fit(n_epochs=coarse_epochs, batch_size=batch_size,
+                   hyperparam=dict(lr=lr, weight_decay=1e-4),
+                   scheduler=optax.cosine_decay_schedule(
+                       1.0, decay_steps=max(coarse_epochs, 1), alpha=0.05),
+                   steps_per_call=steps_per_call,
+                   checkpoint_dict=dict(print_stride=None))
+        model.net_ = coarse.net_.transfer(
+            shape=lat_shape,
+            mask=nf.models.PackedEvenOddMask(shape=lat_shape))
 
     if n_devices is None:
         n_devices = len(jax.devices())
@@ -89,6 +110,9 @@ if __name__ == "__main__":
     add("--lr", type=float)
     add("--seed", type=int)
     add("--multihost", action="store_true", default=None)
+    add("--coarse_epochs", type=int,
+        help="coarse-to-fine: pre-train at half the lattice size for this "
+             "many epochs, then transfer (0 = off)")
 
     args = {k: v for k, v in vars(parser.parse_args()).items()
             if v is not None}

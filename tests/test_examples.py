@@ -66,5 +66,5 @@ def test_scalar_64x64_distributed_example_smoke():
     spec.loader.exec_module(mod)
     model = mod.main(lat_shape=(8, 8), n_epochs=10, batch_size=32, chains=32,
                      chain_rounds=3, knots=4, hidden=(4,), n_layers=2,
-                     steps_per_call=10)
+                     steps_per_call=10, coarse_epochs=10)  # coarse-to-fine on
     assert model.device_handler.mesh is not None  # ran sharded
