@@ -35,7 +35,13 @@ def main():
     p.add_argument("--knots_len", type=int, default=8)
     p.add_argument("--hidden", type=int, nargs="*", default=[16])
     p.add_argument("--tag", default="u1")
+    p.add_argument("--bf16", action="store_true",
+                   help="also measure the bf16-conditioner sampling arm")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for smoke tests)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import optax
     from scipy import special
@@ -61,16 +67,34 @@ def main():
 
     key = jax.random.key(args.seed + 1)
     _, k2 = jax.random.split(key)
-    logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
+
+    def measure_arm(m):
+        logqp = m.posterior.logqp_stream(args.sample_iters, args.batch,
                                          key=k2)
-    jax.block_until_ready(logqp)
-    t1 = time.time()
-    logqp = model.posterior.logqp_stream(args.sample_iters, args.batch,
+        jax.block_until_ready(logqp)
+        t1 = time.time()
+        logqp = m.posterior.logqp_stream(args.sample_iters, args.batch,
                                          key=k2)
-    jax.block_until_ready(logqp)
-    sps = args.sample_iters * args.batch / (time.time() - t1)
+        jax.block_until_ready(logqp)
+        sps = args.sample_iters * args.batch / (time.time() - t1)
+        return sps, logqp
+
+    sps, logqp = measure_arm(model)
     ess = float(calc_ess(logqp, 0.0))
     accept, _ = estimate_accept_rate(jax.device_get(logqp))
+    bf16 = None
+    if args.bf16:
+        from normflow__tpu.zoo import with_conv_compute_dtype
+
+        f32_net = model.net_
+        model.net_ = with_conv_compute_dtype(model.net_, "bfloat16")
+        sps_b, logqp_b = measure_arm(model)
+        ess_b = float(calc_ess(logqp_b, 0.0))
+        bf16 = {"raw_samples_per_sec": round(sps_b, 1),
+                "ess": round(ess_b, 4),
+                "eff_per_s": round(sps_b * ess_b, 1)}
+        if sps_b * ess_b <= sps * ess:  # keep the winner for the MCMC pass
+            model.net_ = f32_net
 
     # exact-corrected observable from the Metropolis chain
     out = model.mcmc.sample_chain(16, args.batch, collect_samples=True)
@@ -92,6 +116,7 @@ def main():
         "topo_q_std": round(float(q.std()), 3),
         "mcmc_accept": round(float(np.asarray(out["accept_rate"]).mean()),
                              4),
+        **({"bf16_arm": bf16} if bf16 else {}),
     }))
 
 
