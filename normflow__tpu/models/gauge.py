@@ -145,23 +145,39 @@ class U1PlaquetteCoupling(Flow):
                            jnp.sin(p_frozen_masked)], axis=-1)
         return self.net(feats)
 
+    def _stripe_idx(self, arr, trailing):
+        """Index tuple selecting the active stripe (every 4th row/col of
+        the lattice axes, which sit ``trailing`` axes before the end)."""
+        idx = [slice(None)] * arr.ndim
+        idx[arr.ndim - 2 - trailing + self._axis] = slice(
+            self.offset, None, 4)
+        return tuple(idx)
+
     def _transform(self, theta, inverse):
         p = u1_plaq_angle(theta)
         lat_shape = p.shape[-2:]
-        active, frozen = self._masks(lat_shape, p.dtype)
+        _, frozen = self._masks(lat_shape, p.dtype)
         out = self._spline_params(p * frozen)
-        kx, ky, kd = _circular_spline_knots(out)
-        p_new, g = sp.rqs(p, kx, ky, kd, inverse=inverse)
-        delta = wrap_angle(p_new - p) * active
+        # The active stripe is 1/4 of the sites.  The conditioner conv must
+        # see the full (masked) lattice, but the VPU-heavy part -- knot
+        # construction (softmax/cumsum over 3(m-1) channels) and the RQ
+        # transform -- only matters on the active stripe: restrict it there
+        # with a static strided slice instead of transforming all sites
+        # and masking (values on non-active sites were always discarded).
+        p_act = p[self._stripe_idx(p, 0)]
+        kx, ky, kd = _circular_spline_knots(out[self._stripe_idx(out, 1)])
+        p_new, g = sp.rqs(p_act, kx, ky, kd, inverse=inverse)
+        delta = wrap_angle(p_new - p_act)
         # theta_mu(x) appears in P(x) with coefficient c = +1 for mu=0 and
         # c = -1 for mu=1; solve P'(x) = P(x) + delta by shifting that one
         # link (which no frozen plaquette contains): d theta = delta / c.
         c = 1.0 if self.mu == 0 else -1.0
         theta_mu = theta[..., self.mu, :, :]
-        theta_mu = wrap_angle(theta_mu + c * delta)
+        stripe = self._stripe_idx(theta_mu, 0)
+        theta_mu = theta_mu.at[stripe].set(
+            wrap_angle(theta_mu[stripe] + c * delta))
         theta = theta.at[..., self.mu, :, :].set(theta_mu)
-        logg = jnp.log(g) * active
-        return theta, logg
+        return theta, jnp.log(g)  # logg on the active stripe only
 
     def forward(self, x, log0=0.0, *, density: bool = False):
         theta, logg = self._transform(x, inverse=False)
@@ -174,9 +190,12 @@ class U1PlaquetteCoupling(Flow):
     def _reduce(self, logg, x, density):
         if density:
             # spread the plaquette-density over the updated link entries
-            z = jnp.zeros_like(x)
-            return z.at[..., self.mu, :, :].set(logg)
-        return jnp.sum(logg, axis=tuple(range(1, logg.ndim)))
+            zmu = jnp.zeros_like(x[..., self.mu, :, :])
+            zmu = zmu.at[self._stripe_idx(zmu, 0)].set(logg)
+            return jnp.zeros_like(x).at[..., self.mu, :, :].set(zmu)
+        # logg lives on the active stripe; sum all non-batch axes
+        n_batch = logg.ndim - 2
+        return jnp.sum(logg, axis=tuple(range(n_batch, logg.ndim)))
 
 
 def build_u1_gauge_flow(key, lat_shape, knots_len=8, hidden=(16,),

@@ -128,3 +128,30 @@ def test_u1_training_and_exactness():
     oracle = float(i1(1.0) / i0(1.0))  # 0.44639...
     err = cosp.std() / np.sqrt(len(cosp) / 20)
     assert abs(cosp.mean() - oracle) < 5 * err + 0.01, (cosp.mean(), oracle)
+
+
+def test_single_coupling_density_path(rng, key):
+    """density=True returns a per-site logJ field: it must sum to the
+    scalar logJ and be supported only on the updated link's active stripe
+    (the stripe-restricted spline scatters it back)."""
+    from normflow__tpu.models.nets import ConvNet
+
+    net = ConvNet.build(key, 2, 3 * 5, kernel_size=3, conv_dim=2)
+    for mu, offset in ((1, 0), (0, 3)):
+        c = U1PlaquetteCoupling(net=net, mu=mu, offset=offset)
+        theta = _theta(rng)
+        y, logj = c.forward(theta)
+        yd, dens = c.forward(theta, density=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yd))
+        assert dens.shape == theta.shape
+        np.testing.assert_allclose(
+            np.asarray(dens.sum(axis=(1, 2, 3))), np.asarray(logj),
+            rtol=1e-6)
+        # support: only link component mu, only active stripe rows/cols
+        d = np.asarray(dens)
+        assert np.all(d[:, 1 - mu] == 0.0)
+        ax = 0 if mu == 1 else 1
+        for coord in range(8):
+            if coord % 4 != offset:
+                sl = d[:, mu, coord] if ax == 0 else d[:, mu, :, coord]
+                np.testing.assert_allclose(sl, 0.0, atol=0.0)
