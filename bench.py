@@ -126,7 +126,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--train_epochs", type=int, default=24000)
     p.add_argument("--train_batch", type=int, default=512)
-    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=512,
+                   help="sampling batch; 512 is the effective-rate optimum "
+                        "(466.9k vs 363.6k raw/s at 1024, 400-round scan -- "
+                        "per-sample cost degrades as the working set grows "
+                        "past VMEM; docs/EXPERIMENTS.md batch sweeps)")
     p.add_argument("--sample_iters", type=int, default=400)
     p.add_argument("--steps_per_call", type=int, default=1000)
     p.add_argument("--reps", type=int, default=5)
