@@ -112,7 +112,8 @@ if __name__ == "__main__":
     add("--multihost", action="store_true", default=None)
     add("--coarse_epochs", type=int,
         help="coarse-to-fine: pre-train at half the lattice size for this "
-             "many epochs, then transfer (0 = off)")
+             "many epochs, then transfer (0 = off; 48000 is the measured "
+             "best -- docs/TRAINING.md)")
 
     args = {k: v for k, v in vars(parser.parse_args()).items()
             if v is not None}
