@@ -489,6 +489,13 @@ class BlockedMCMCSampler(MCMCSampler):
     The sweep over blocks and the batch loop are both ``lax.scan``s -- the
     whole sampler is one fused device program (the reference re-enters
     Python per proposal).
+
+    Intentionally NOT mesh-sharded: each block update conditions on the
+    current state of every other block, so the sweep is inherently
+    sequential per sample (matching the reference's semantics,
+    mcmc.py:132-219).  For multi-chip throughput run independent chains
+    via ``MCMCSampler.sample_parallel_chains`` (batch-sharded, zero
+    collectives) instead.
     """
 
     def sample__(self, batch_size=1, n_blocks=1, key=None, bookkeeping=False):

@@ -314,6 +314,41 @@ def test_use_mesh_axes_order_insensitive():
         _model(seed=2).device_handler.use_mesh(axes={"space": 8})
 
 
+def test_sharded_sampler_flops_divided_by_mesh():
+    """Per-device FLOPs of the sharded PRODUCTION sampler must be ~1/N of
+    the unsharded program on an N-device mesh (round-3 VERDICT item 6).
+
+    Zero-collective HLO (test_production_sampling_program_sharded) proves
+    chip independence but not work division -- a regression that silently
+    replicates the full batch on every chip would still pass it.  XLA's
+    compiled-program cost analysis is per-(SPMD-)device, so asserting
+    flops_sharded ~= flops_unsharded / N closes that loophole."""
+    from normflow__tpu.training.model import _logqp_scan
+
+    def flops_of(model, batch):
+        compiled = _logqp_scan.lower(
+            model.net_, model.prior, model.action, jax.random.key(3), 4,
+            batch, model.device_handler.batch_sharder()).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"])
+
+    batch = 128
+    m1 = _model(seed=8)
+    full = flops_of(m1, batch)
+
+    m2 = _model(seed=8)
+    m2.device_handler.use_mesh(n_devices=8)
+    m2.device_handler.replicate_params()
+    per_device = flops_of(m2, batch)
+
+    assert full > 0 and per_device > 0
+    ratio = per_device / full
+    # ~1/8 with slack for per-partition bookkeeping ops; anything near 1
+    # means the work is replicated, not divided.
+    assert 0.06 < ratio < 0.30, (per_device, full, ratio)
+
+
 @pytest.mark.slow
 def test_aot_tpu_topology_dpsp_flagship():
     """AOT-compile the FULL flagship (incl. the FFT/PSD spectral block)

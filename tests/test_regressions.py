@@ -1,4 +1,4 @@
-"""Round-2 regression tests: functional DoubleMask, controlled-coupling
+"""Regression tests: functional DoubleMask, controlled-coupling
 training, path-gradient estimator, sample_chain shape-probe, parity shims."""
 
 import jax
