@@ -1,5 +1,11 @@
 """Benchmark: effective samples/s/chip on 32x32 phi^4 (the driver's metric).
 
+Drift policy (docs/EXPERIMENTS.md): raw throughput over the tunnel drifts
++-20% minute-to-minute, so every raw-rate comparison in this script is
+INTERLEAVED within one session (the backend A/B below); quality metrics
+(ESS/accept) are seed-deterministic.  Never compare raw numbers from two
+separate bench runs.
+
 Protocol (fully seeded -- two consecutive runs agree within the quoted
 error bars):
  1. build the flagship 32x32 RQ-spline-coupling flow (BASELINE.json config 3);
@@ -124,7 +130,11 @@ def _probe_backend(max_tries=7):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--train_epochs", type=int, default=24000)
+    p.add_argument("--train_epochs", type=int, default=96000,
+                   help="96k is the round-4 official protocol: the epoch "
+                        "axis keeps paying at fixed architecture (ESS "
+                        "0.656/0.692/0.722 at 24k/48k/96k, raw unchanged "
+                        "-- interleaved campaign, docs/EXPERIMENTS.md r4)")
     p.add_argument("--train_batch", type=int, default=512)
     p.add_argument("--batch", type=int, default=512,
                    help="sampling batch; 512 is the effective-rate optimum "

@@ -98,7 +98,10 @@ class Metropolis:
         logqp = np.asarray(logqp, dtype=np.float32)
         rng = np.random.default_rng() if rng is None else rng
         ref = logqp[0] if logqp_ref is None else np.float32(logqp_ref)
-        lrand = np.log(rng.random(logqp.shape[0], dtype=np.float32))
+        # log U with U in (0, 1]: numpy's random() is [0, 1), and an exact
+        # 0 draw (possible in f32) would emit log(0) = -inf with a runtime
+        # warning; 1 - U flips the support, same distribution.
+        lrand = np.log1p(-rng.random(logqp.shape[0], dtype=np.float32))
         tau = cls._tau if tau is None else float(tau)
         cpu = _initialized_cpu_device()
         if cpu is not None:
