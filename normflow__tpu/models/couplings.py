@@ -98,6 +98,24 @@ class Coupling(Flow):
             **({} if mask is None else {"mask": mask}),
         )
 
+    def grow(self, new_nets):
+        """Append conditioner nets as NEAR-IDENTITY coupling layers.
+
+        Each appended net's final layer is zeroed (``zeroed_final()``):
+        zero conditioner output is the identity transform for every
+        coupling here (shift ``t=0``; affine ``t=0, s=|0|=0``; RQ splines
+        get uniform knots + unit derivatives via the log-2 softplus), so
+        the grown flow computes exactly the same map as ``self`` while
+        the new layers' hidden activations keep nonzero gradients flowing
+        into the zeroed layer.  Progressive capacity growth for
+        coarse-to-fine transfer (docs/TRAINING.md); no reference
+        counterpart (closest: identity init via ``set_param2zero``,
+        reference modules.py:156-159).  Existing nets keep their indices,
+        so the parity alternation of the trained stack is unchanged.
+        """
+        return self.replace(nets=self.nets + tuple(
+            net.zeroed_final() for net in new_nets))
+
 
 class ShiftCoupling(Coupling):
     """Additive coupling: ``y = x + t(frozen)``, logJ = 0

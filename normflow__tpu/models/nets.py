@@ -181,6 +181,17 @@ class ConvNet(Pytree):
         making any coupling built on this net the identity map."""
         return jax.tree_util.tree_map(jnp.zeros_like, self)
 
+    def zeroed_final(self) -> "ConvNet":
+        """Zero only the FINAL layer: the net outputs zeros (any coupling
+        built on it is the identity map) while the hidden layers keep
+        their init, so the zeroed layer still receives nonzero gradients.
+        The near-identity init behind ``Coupling.grow`` — a fully
+        ``zeroed()`` net is a dead gradient trap (zero hidden activations
+        give the final layer zero gradient too)."""
+        layers = list(self.layers)
+        layers[-1] = jax.tree_util.tree_map(jnp.zeros_like, layers[-1])
+        return self.replace(layers=tuple(layers))
+
     def transfer(self, **kwargs):
         return self
 
@@ -209,6 +220,9 @@ class RowParityFeature(Pytree):
 
     def zeroed(self):
         return self.replace(net=self.net.zeroed())
+
+    def zeroed_final(self):
+        return self.replace(net=self.net.zeroed_final())
 
 
 class Dense(Pytree):
@@ -296,6 +310,15 @@ class LinearNet(Pytree):
 
     def zeroed(self) -> "LinearNet":
         return jax.tree_util.tree_map(jnp.zeros_like, self)
+
+    def zeroed_final(self) -> "LinearNet":
+        """Zero the final layer (and ``final_bias`` if any) only; see
+        ``ConvNet.zeroed_final``."""
+        layers = list(self.layers)
+        layers[-1] = jax.tree_util.tree_map(jnp.zeros_like, layers[-1])
+        fb = (jax.tree_util.tree_map(jnp.zeros_like, self.final_bias)
+              if self.final_bias is not None else None)
+        return self.replace(layers=tuple(layers), final_bias=fb)
 
     def transfer(self, **kwargs):
         return self

@@ -24,20 +24,16 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
 
 
 def add_identity_layers(net_, n_extra, *, knots, hidden, key):
-    """Append near-identity coupling conditioners to the RQ-spline stack.
-
-    A conditioner whose FINAL conv is zero outputs all-zero spline
-    parameters -> uniform knots, unit derivatives -> the identity spline
-    (same mechanism as ``ConvNet.zeroed`` / reference set_param2zero,
-    modules.py:156-159).  Hidden layers keep their random init so the
-    zeroed final conv still receives gradients."""
+    """Append near-identity coupling conditioners to the RQ-spline stack
+    via ``Coupling.grow`` (zero final conv -> all-zero spline parameters
+    -> uniform knots, unit derivatives -> identity spline; hidden layers
+    keep their random init so the zeroed conv still gets gradients)."""
     from normflow__tpu.models.nets import RowParityFeature
     from normflow__tpu.nn import ConvAct
 
@@ -46,18 +42,11 @@ def add_identity_layers(net_, n_extra, *, knots, hidden, key):
                        hidden_sizes=tuple(hidden), kernel_size=3,
                        conv_dim=2, acts=("tanh",) * len(hidden) + (None,),
                        bias=False)
-
-    def near_identity(k):
-        net = ConvAct.build(k, **conv_kwargs)
-        layers = list(net.layers)
-        layers[-1] = layers[-1].replace(
-            weight=jnp.zeros_like(layers[-1].weight))
-        return RowParityFeature(net=net.replace(layers=tuple(layers)))
-
     keys = jax.random.split(key, n_extra)
-    new_nets = cpl.nets + tuple(near_identity(k) for k in keys)
+    new_nets = tuple(RowParityFeature(net=ConvAct.build(k, **conv_kwargs))
+                     for k in keys)
     flows = list(net_.flows)
-    flows[2] = cpl.replace(nets=new_nets)
+    flows[2] = cpl.grow(new_nets)
     return net_.replace(flows=tuple(flows))
 
 

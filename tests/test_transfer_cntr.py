@@ -116,3 +116,52 @@ def test_flagship_coarse_to_fine_transfer():
     hist = m16.fit(n_epochs=3, batch_size=8, hyperparam=dict(lr=1e-3),
                    checkpoint_dict=dict(print_stride=None))
     assert np.isfinite(hist["loss"][-1])
+
+
+def test_coupling_grow_is_identity_and_trainable(rng, key):
+    """``Coupling.grow`` (progressive capacity growth for coarse-to-fine
+    transfer): appended zeroed-final conditioners must leave forward AND
+    logdet bit-identical, while the zeroed layers still receive nonzero
+    gradients (a fully-zeroed net would be a dead gradient trap)."""
+    from normflow__tpu.models import RQSplineCoupling
+
+    mask = EvenOddMask(shape=(6, 6))
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jnp.asarray(rng.normal(size=(4, 6, 6)))
+
+    # AffineCoupling wants 2 output channels; the 4-knot spline 3m-2 = 10
+    cases = [
+        (AffineCoupling(nets=_nets(k1, out_channels=2, n=2), mask=mask),
+         _nets(k2, out_channels=2, n=2)),
+        (RQSplineCoupling.build(
+            _nets(k1, out_channels=10, n=2), mask=mask,
+            xlim=(-3.0, 3.0), ylim=(-3.0, 3.0),
+            extrap={"left": "linear", "right": "linear"}),
+         _nets(k2, out_channels=10, n=2)),
+    ]
+    for cpl, new in cases:
+        grown = cpl.grow(new)
+        assert len(grown.nets) == 4
+
+        y0, j0 = cpl.forward(x, 0.0)
+        y1, j1 = grown.forward(x, 0.0)
+        # affine identity is exact; the RQ spline at uniform knots/unit
+        # derivatives recomputes x through the rational-quadratic formula,
+        # so identity holds to f32 rounding only
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(j0), np.asarray(j1),
+                                   rtol=0, atol=1e-4)
+        xb, jb = grown.backward(y1, j1)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(x),
+                                   rtol=0, atol=1e-5)
+
+        # the zeroed final layers are NOT gradient-dead
+        def loss(c):
+            y, j = c.forward(x, 0.0)
+            return jnp.sum(y**2) + jnp.sum(j)
+
+        g = jax.grad(loss)(grown)
+        for net in g.nets[2:]:
+            gw = np.asarray(net.layers[-1].weight)
+            assert np.abs(gw).max() > 0.0
