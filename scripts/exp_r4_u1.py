@@ -38,6 +38,9 @@ GRID = [
     ("c4_e48", 4, 48000, (0, 1, 2), False),
     ("c4_e96", 4, 96000, (0,), False),
     ("c2_e48_anneal", 2, 48000, (0, 1, 2), True),
+    # confirmation seeds for the two finalist arms of the main grid
+    ("c2_e96_s34", 2, 96000, (3, 4), False),
+    ("c4_e24_s34", 4, 24000, (3, 4), False),
 ]
 
 
