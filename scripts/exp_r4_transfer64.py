@@ -121,8 +121,9 @@ def main():
 
     from normflow__tpu.training.checkpoint import save_snapshot
 
-    snap_dir = os.path.join(os.path.dirname(args.out) or ".",
-                            "r4_transfer64")
+    # one snapshot dir PER --out file (a shared "r4_transfer64" dir let a
+    # 6-layer run overwrite the 4-layer run's snapshots)
+    snap_dir = os.path.splitext(args.out)[0] + "_snaps"
     os.makedirs(snap_dir, exist_ok=True)
     for name, m in models.items():  # f32 nets, reusable for 128x128
         save_snapshot(os.path.join(snap_dir, f"{name}.msgpack"), net=m.net_)
