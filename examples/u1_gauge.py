@@ -16,7 +16,7 @@ from normflow__tpu.models.gauge import (
 
 
 def main(beta=2.0, lat_shape=(16, 16), n_epochs=2000, batch_size=256,
-         n_cycles=2, knots_len=8, lr=1e-3, seed=0, n_devices=1,
+         n_cycles=4, knots_len=8, lr=1e-3, seed=0, n_devices=1,
          steps_per_call=None):
     key = jax.random.key(seed)
     flow = build_u1_gauge_flow(key, lat_shape, knots_len=knots_len,

@@ -104,18 +104,21 @@ def build_phi4_model(lat_shape=(32, 32), *, kappa=0.6, m_sq=-2.4, lambd=0.5,
 
 
 def build_u1_model(lat_shape=(16, 16), *, beta=2.0, knots_len=8, hidden=(16,),
-                   n_cycles=2, seed=0, dtype=None) -> Model:
+                   n_cycles=4, seed=0, dtype=None) -> Model:
     """2-D U(1) gauge model with gauge-equivariant plaquette couplings
     (BASELINE config 5).
 
-    ``n_cycles=2`` is the round-3 effective-rate winner.  With the
-    stripe-restricted spline (raw 347k samples/s at 2 cycles vs 183k at
-    4), 2 cycles delivers the best measured effective rate (39.9k eff/s)
-    AND is far more robust to training-trajectory variance than 4 cycles,
-    whose 24k-epoch ESS ranges 0.009-0.43 across seeds (the round-2
-    "4-cycle winner" at ESS 0.428 was an early-escaping trajectory;
-    seed study in docs/EXPERIMENTS.md).  Exactness (Metropolis-corrected
-    observables) is seed- and architecture-independent."""
+    ``n_cycles=4`` (at the 24k-epoch protocol) is the round-4 5-seed
+    winner: mean 47.1k eff samples/s, worst seed 24.6k, ESS 0.13-0.32
+    with NO training collapse in 5/5 seeds.  The shallower 2-cycle flow
+    is 1.9x faster raw (stripe-restricted spline: 349k vs 185k samples/s)
+    but diverges outright on 4 of 14 measured trajectories at >=48k
+    epochs (accept -> 1e-4, unphysical plaquette), and at 24k epochs its
+    best ESS (0.10) is below the WORST 4-cycle seed (0.13) — the round-3
+    flip to 2 cycles rested on an unlucky 3-seed draw at a different
+    steps_per_call trajectory seeding (full grid: docs/EXPERIMENTS.md
+    round 4).  Exactness (Metropolis-corrected observables) is seed- and
+    architecture-independent."""
     from .models.gauge import U1AngleAction, build_u1_gauge_flow
 
     lat_shape = tuple(lat_shape)
