@@ -24,7 +24,12 @@ run_with_retry() {
   local cmd="$1"
   for attempt in 1 2 3 4 5; do
     local log="/tmp/job_${tag}.log"
-    bash -c "exec python -u $cmd" > "$log" 2>&1 &
+    # JOB_TIMEOUT caps the WHOLE attempt: the init watchdog below only
+    # covers pre-banner hangs, but a client can also wedge *after* the
+    # banner when it races a dying client's tunnel teardown (observed
+    # round 4: an attempt sat post-banner for >15 min).  timeout(1)
+    # forwards TERM to the python child.
+    bash -c "exec timeout ${JOB_TIMEOUT:-14400} python -u $cmd" > "$log" 2>&1 &
     local pid=$!
     local ok=0
     # watchdog: the axon platform banner appears once backend init succeeds
