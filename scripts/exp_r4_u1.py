@@ -44,7 +44,8 @@ GRID = [
 ]
 
 
-def train(model, epochs, batch, lr, steps_per_call, anneal, beta):
+def train(model, epochs, batch, lr, steps_per_call, anneal, beta,
+          clip=25.0):
     """Standard U(1) protocol (exp_u1_bench.py), optionally beta-annealed:
     constant-lr walk-in at beta {1.0, 1.5} for the first half, cosine
     polish at the target beta for the second half (equal total epochs)."""
@@ -53,7 +54,7 @@ def train(model, epochs, batch, lr, steps_per_call, anneal, beta):
     from normflow__tpu.models.gauge import U1AngleAction
 
     common = dict(batch_size=batch, grad_estimator="path",
-                  clip_grad_norm=25.0, steps_per_call=steps_per_call,
+                  clip_grad_norm=clip, steps_per_call=steps_per_call,
                   checkpoint_dict=dict(print_stride=None))
     if not anneal:
         model.fit(n_epochs=epochs, hyperparam=dict(lr=lr, weight_decay=0.0),
@@ -79,6 +80,8 @@ def main():
     p.add_argument("--lat", type=int, default=16)
     p.add_argument("--beta", type=float, default=2.0)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--clip", type=float, default=25.0,
+                   help="grad-norm clip for every arm run (mechanism probes)")
     p.add_argument("--train_batch", type=int, default=256)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--sample_iters", type=int, default=200)
@@ -117,7 +120,8 @@ def main():
                                    n_cycles=n_cycles)
             t0 = time.time()
             train(model, epochs, args.train_batch, args.lr,
-                  args.steps_per_call, anneal, args.beta)
+                  args.steps_per_call, anneal, args.beta,
+                  clip=args.clip)
             train_s = round(time.time() - t0, 1)
 
             logqp = model.posterior.logqp_stream(args.sample_iters,
@@ -134,6 +138,7 @@ def main():
             q_std = float((pang.sum(axis=(1, 2)) / (2 * np.pi)).std())
 
             row = dict(arm=name, n_cycles=n_cycles, epochs=epochs,
+                       clip=args.clip,
                        seed=seed, anneal=anneal, train_s=train_s,
                        ess=round(ess, 4), accept=round(accept, 4),
                        cos_plaq=round(cosp, 4),
