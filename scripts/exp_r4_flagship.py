@@ -35,6 +35,7 @@ ARMS = [
     ("e24_L4_k12", 4, 12, 24000),   # round-3 official protocol
     ("e48_L4_k12", 4, 12, 48000),   # the promised 48k official arm
     ("e96_L4_k12", 4, 12, 96000),   # convergence probe
+    ("e192_L4_k12", 4, 12, 192000),  # one more doubling past the 96k official
     ("e48_L6_k12", 6, 12, 48000),   # capacity-at-convergence: depth
     ("e48_L4_k16", 4, 16, 48000),   # capacity-at-convergence: knots
 ]
