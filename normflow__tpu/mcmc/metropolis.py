@@ -151,16 +151,44 @@ class Metropolis:
 
 
 def _initialized_cpu_device():
-    """The local CPU device IF that backend is already initialized, else
-    None.  Deliberately never CALLS the backend-initialization machinery:
-    ``jax.local_devices(backend='cpu')`` initializes every platform in
-    ``JAX_PLATFORMS`` -- on a remote-accelerator config (axon/TPU tunnels)
-    that can block for minutes, which host-side statistics must never do."""
-    try:
-        from jax._src import xla_bridge
+    """The local CPU device when obtaining it cannot trigger a *remote*
+    backend initialization, else None (-> plain-numpy recurrence).
 
-        backend = xla_bridge._backends.get("cpu")  # initialized-only peek
-        return backend.local_devices()[0] if backend is not None else None
+    ``jax.extend.backend.get_backend('cpu')`` initializes every platform in
+    ``JAX_PLATFORMS`` when none is initialized yet -- on a remote-accelerator
+    config (axon/TPU tunnels) that can block for minutes, which host-side
+    statistics must never do.  There is no public API to merely *peek* at
+    already-initialized backends, so the compiled CPU scan is used only when
+    it is provably safe or cheap:
+
+    - ``NORMFLOW_HOST_SCAN=cpu`` in the environment: explicit opt-in (the
+      documented caveat: may initialize all configured platforms);
+      ``NORMFLOW_HOST_SCAN=numpy`` forces the numpy path;
+    - ``JAX_PLATFORMS`` pins host-only platforms (e.g. the test suite's
+      ``cpu``): initialization cannot reach a remote device;
+    - the process already holds live JAX arrays (``jax.live_arrays()``):
+      backends are initialized, so the call returns from cache instantly.
+    """
+    import os
+
+    mode = os.environ.get("NORMFLOW_HOST_SCAN", "").lower()
+    if mode == "numpy":
+        return None
+    if mode != "cpu":
+        platforms = [p.strip() for p in
+                     os.environ.get("JAX_PLATFORMS", "").split(",") if p]
+        try:
+            platforms = platforms or [
+                p.strip() for p in
+                (jax.config.jax_platforms or "").split(",") if p]
+        except AttributeError:
+            pass
+        host_only = platforms and all(p == "cpu" for p in platforms)
+        if not host_only and not jax.live_arrays():
+            return None
+    try:
+        backend = jax.extend.backend.get_backend("cpu")
+        return backend.local_devices()[0]
     except Exception:
         return None
 
