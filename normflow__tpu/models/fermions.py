@@ -36,8 +36,10 @@ import numpy as np
 
 from ..struct import Pytree, static
 
-__all__ = ["StaggeredFermionLogDet", "staggered_dirac_matrix",
-           "build_schwinger_action", "SchwingerAngleAction"]
+__all__ = ["StaggeredFermionLogDet", "StochasticStaggeredLogDet",
+           "staggered_dirac_matrix", "apply_staggered_hop",
+           "apply_staggered_K", "build_schwinger_action",
+           "SchwingerAngleAction"]
 
 
 def _site_tables(lat_shape, antiperiodic_time=True):
@@ -201,6 +203,207 @@ class StaggeredFermionLogDet(Pytree):
         return self.n_copies * logabs
 
 
+# ===================================================================== #
+# Stencil (matrix-free) staggered operator + stochastic log-det
+# ===================================================================== #
+def _hop_phase_tables(lat_shape, antiperiodic_time=True):
+    """Lattice-shaped phase tables for the roll-based hopping stencil.
+
+    Returns, per direction mu, numpy arrays of shape ``lat_shape``:
+    ``w_plus[mu] = eta_mu * sgn_plus_mu`` (forward-hop weight without the
+    link) and ``w_minus[mu] = eta_mu * sgn_minus_mu``.
+    """
+    lat_shape = tuple(lat_shape)
+    ndim = len(lat_shape)
+    coords = np.stack(np.meshgrid(
+        *[np.arange(n) for n in lat_shape], indexing="ij"), axis=0)
+    w_plus, w_minus = [], []
+    for mu in range(ndim):
+        eta = (-1.0) ** coords[:mu].sum(axis=0) * np.ones(lat_shape)
+        sp = np.ones(lat_shape)
+        sm = np.ones(lat_shape)
+        if antiperiodic_time and mu == 0:
+            sp = np.where(coords[0] == lat_shape[0] - 1, -1.0, 1.0)
+            sm = np.where(coords[0] == 0, -1.0, 1.0)
+        w_plus.append(eta * sp)
+        w_minus.append(eta * sm)
+    return w_plus, w_minus
+
+
+def apply_staggered_hop(links, v, *, antiperiodic_time=True):
+    r"""Matrix-free hopping ``H v`` on full-lattice vectors (O(V) stencil).
+
+    ``links``: complex ``(batch, ndim, *lat)`` (real input = link angles);
+    ``v``: complex ``(batch, ..., *lat)`` -- extra leading axes (e.g. a
+    probe axis) broadcast against the batch.  Implements
+
+    .. math::
+        (Hv)(x) = \tfrac12\sum_\mu \eta_\mu(x)\big[ s^+_\mu(x) U_\mu(x)
+            v(x+\hat\mu) - s^-_\mu(x) U^*_\mu(x-\hat\mu) v(x-\hat\mu)\big],
+
+    the hopping part of the staggered matrix built by
+    :func:`staggered_dirac_matrix` (equal by construction; tested against
+    the dense matrix).  ``H`` is anti-Hermitian.
+    """
+    if not jnp.iscomplexobj(links):
+        links = jnp.exp(1j * links)
+    ndim = links.shape[1]
+    lat_shape = links.shape[2:]
+    w_plus, w_minus = _hop_phase_tables(lat_shape, antiperiodic_time)
+    # lattice dims are the trailing ndim axes of v
+    out = jnp.zeros_like(v)
+    extra = v.ndim - 1 - ndim  # leading axes beyond batch
+    for mu in range(ndim):
+        ax = v.ndim - ndim + mu
+        u = links[:, mu]
+        if extra:
+            # leading probe/extra axes come BEFORE the batch axis in v
+            u = u.reshape((1,) * extra + u.shape)
+        wp = jnp.asarray(w_plus[mu], out.real.dtype)
+        wm = jnp.asarray(w_minus[mu], out.real.dtype)
+        out = out + 0.5 * wp * u * jnp.roll(v, -1, axis=ax)
+        out = out - 0.5 * wm * jnp.roll(jnp.conjugate(u) * v, 1, axis=ax)
+    return out
+
+
+def apply_staggered_K(links, mass, v, *, antiperiodic_time=True):
+    r"""Matrix-free ``K v`` with ``K = m^2 + H^\dagger H = m^2 - H^2``.
+
+    ``K`` is Hermitian positive definite and block-diagonal in parity, with
+    ``\log\det D = \tfrac12 \log\det K`` over the FULL lattice (for
+    ``D = m + H``: ``D^\dagger D = (m - H)(m + H) = m^2 - H^2 = K`` and
+    ``\det D`` is real positive for ``m > 0``).
+    """
+    hv = apply_staggered_hop(links, v, antiperiodic_time=antiperiodic_time)
+    hhv = apply_staggered_hop(links, hv, antiperiodic_time=antiperiodic_time)
+    return (mass * mass) * v - hhv
+
+
+def _cg_batched(matvec, b, *, tol, maxiter, lat_ndim):
+    """Conjugate gradients on a batch of independent Hermitian-PD systems.
+
+    ``b``: complex ``(..., *lat)``; inner products reduce over the trailing
+    ``lat_ndim`` axes only, so every leading index gets its own step sizes
+    (exact per-system CG, unlike flattening the batch into one big system).
+    Runs until every system's residual norm is below ``tol * |b|`` or
+    ``maxiter`` iterations.
+    """
+    axes = tuple(range(b.ndim - lat_ndim, b.ndim))
+
+    def dot(x, y):
+        return jnp.sum(jnp.conjugate(x) * y, axis=axes).real
+
+    def expand(s):
+        return s.reshape(s.shape + (1,) * lat_ndim)
+
+    b2 = dot(b, b)
+    tol2 = (tol * tol) * b2
+
+    def cond(state):
+        _, r, _, rs, it = state
+        return (it < maxiter) & jnp.any(rs > tol2)
+
+    def body(state):
+        x, r, p, rs, it = state
+        kp = matvec(p)
+        pkp = dot(p, kp)
+        live = rs > tol2
+        alpha = jnp.where(live, rs / jnp.where(pkp > 0, pkp, 1.0), 0.0)
+        x = x + expand(alpha) * p
+        r = r - expand(alpha) * kp
+        rs_new = dot(r, r)
+        beta = jnp.where(live, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
+        p = r + expand(beta) * p
+        return x, r, p, rs_new, it + 1
+
+    x0 = jnp.zeros_like(b)
+    state = (x0, b, b, b2, jnp.asarray(0))
+    x, _, _, rs, _ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+class StochasticStaggeredLogDet(Pytree):
+    r"""Stochastic, matrix-free estimator of the staggered ``log det D``
+    GRADIENT -- the scaling path past the exact O(V^3) evaluation
+    (:class:`StaggeredFermionLogDet`; its own docstring names this
+    estimator as the large-volume plan).
+
+    Mechanism (Hutchinson trace + CG, all O(V) stencils):
+
+    .. math::
+        \partial_\theta \log\det D
+            = \tfrac12\,\mathrm{tr}(K^{-1}\partial_\theta K)
+            \approx \tfrac12\,\tfrac1P \sum_p
+              \mathrm{Re}\,[\,(K^{-1}z_p)^\dagger\, (\partial_\theta K)\, z_p],
+
+    with ``K = m^2 - H^2`` (Hermitian PD on the full lattice), Z4 complex
+    noise probes ``z_p`` (``E[z z^\dagger] = I``), and ``K^{-1}z`` from
+    batched conjugate gradients under ``stop_gradient``.  The returned
+    value is the differentiable surrogate
+    ``0.5 * Re[sg(K^{-1}z)^\dagger K(theta) z]`` averaged over probes: its
+    *gradient* is the unbiased estimate above; its *value* is ~``V/2``
+    (``z^\dagger z / 2``), NOT the log-determinant -- so this class is for
+    TRAINING (only gradients drive the fit).  Exactness-critical paths
+    (Metropolis accept/reject, ESS measurement) must use the exact action:
+    calling an instance WITHOUT a key (``key=None``) falls back to the
+    exact method, which is what ``Fitter``'s eval and the samplers do --
+    only the jitted train step threads a fresh probe key per step via
+    ``with_key``.
+
+    Cost per train step: ``n_probes x O(cg iters) x O(V)`` stencil ops;
+    CG iterations scale with ``cond(K) ~ (m^2 + 4)/m^2`` (mass-dependent,
+    volume-independent for fixed physics).
+    """
+
+    lat_shape: tuple = static()
+    mass: float = static(default=0.1)
+    n_copies: int = static(default=1)
+    antiperiodic_time: bool = static(default=True)
+    n_probes: int = static(default=2)
+    cg_tol: float = static(default=1e-5)
+    cg_maxiter: int = static(default=256)
+    key: Any = None  # data leaf; None -> exact fallback
+
+    def with_key(self, key):
+        return self.replace(key=key)
+
+    def exact(self):
+        return StaggeredFermionLogDet(
+            lat_shape=self.lat_shape, mass=self.mass,
+            n_copies=self.n_copies,
+            antiperiodic_time=self.antiperiodic_time)
+
+    def __call__(self, cfgs):
+        if self.key is None:
+            return self.exact()(cfgs)
+        links = cfgs if jnp.iscomplexobj(cfgs) else jnp.exp(1j * cfgs)
+        batch = links.shape[0]
+        lat_shape = links.shape[2:]
+        ndim = len(lat_shape)
+        cdtype = links.dtype
+
+        # Z4 probes: entries uniform in {1, i, -1, -i}; E[z z^dagger] = I.
+        quarter = jax.random.randint(
+            self.key, (self.n_probes, batch) + tuple(lat_shape), 0, 4)
+        table = jnp.asarray([1 + 0j, 1j, -1 + 0j, -1j], cdtype)
+        z = table[quarter]
+
+        links_sg = jax.lax.stop_gradient(links)
+        sol = _cg_batched(
+            lambda v: apply_staggered_K(
+                links_sg, self.mass, v,
+                antiperiodic_time=self.antiperiodic_time),
+            z, tol=self.cg_tol, maxiter=self.cg_maxiter, lat_ndim=ndim)
+        sol = jax.lax.stop_gradient(sol)
+        kz_live = apply_staggered_K(
+            links, self.mass, z,
+            antiperiodic_time=self.antiperiodic_time)
+        axes = tuple(range(2, 2 + ndim))
+        est = 0.5 * jnp.mean(
+            jnp.sum(jnp.conjugate(sol) * kz_live, axis=axes).real, axis=0)
+        return self.n_copies * est
+
+
 class SchwingerAngleAction(Pytree):
     r"""Schwinger-model action on LINK ANGLES:
 
@@ -218,6 +421,16 @@ class SchwingerAngleAction(Pytree):
     n_copies: int = static(default=1)
     antiperiodic_time: bool = static(default=True)
     method: str = static(default="schur")
+    logdet_func: Any = None  # data leaf: pluggable (e.g. stochastic) log-det
+
+    def with_key(self, key):
+        """Thread a fresh RNG key into a stochastic ``logdet_func`` (the
+        jitted train step calls this each step; see ``Fitter``).  A no-op
+        for the exact log-det."""
+        if self.logdet_func is not None and hasattr(self.logdet_func,
+                                                    "with_key"):
+            return self.replace(logdet_func=self.logdet_func.with_key(key))
+        return self
 
     def __call__(self, theta):
         return self.action(theta)
@@ -226,11 +439,13 @@ class SchwingerAngleAction(Pytree):
         from .gauge import U1AngleAction
 
         gauge = U1AngleAction(beta=self.beta).action(theta)
-        logdet = StaggeredFermionLogDet(
-            lat_shape=self.lat_shape, mass=self.mass,
-            n_copies=self.n_copies, method=self.method,
-            antiperiodic_time=self.antiperiodic_time)(theta)
-        return gauge - logdet
+        ld = self.logdet_func
+        if ld is None:
+            ld = StaggeredFermionLogDet(
+                lat_shape=self.lat_shape, mass=self.mass,
+                n_copies=self.n_copies, method=self.method,
+                antiperiodic_time=self.antiperiodic_time)
+        return gauge - ld(theta)
 
     def calc_topo_charge(self, theta):
         from .gauge import U1AngleAction

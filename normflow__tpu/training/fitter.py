@@ -204,12 +204,22 @@ class Fitter:
         use_path = self.grad_estimator == "path"
         has_ctrl = self._has_controls
 
+        keyed_action = hasattr(action, "with_key")
+
         def step_core(net, opt_state, key, batch_size):
             if has_ctrl:
                 from ..models.couplings import refresh_controls
 
                 ctrl_key, key = jax.random.split(key)
                 net = refresh_controls(net, ctrl_key, batch_size)
+            if keyed_action:
+                # stochastic actions (e.g. the Hutchinson+CG fermion
+                # log-det estimator) receive a fresh probe key per step;
+                # eval/sampling paths stay keyless -> exact action
+                act_key, key = jax.random.split(key)
+                act = action.with_key(act_key)
+            else:
+                act = action
 
             def loss_of(net):
                 x, logr = prior.sample_(key, batch_size)
@@ -227,7 +237,7 @@ class Fitter:
                     logq = prior.log_prob(x_inv) + mlogj
                 else:
                     logq = logr - logj
-                logp = -action(y)
+                logp = -act(y)
                 loss = loss_fn(logq, logp)
                 return loss, (logq, logp)
 
