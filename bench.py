@@ -24,11 +24,15 @@ error bars):
  4. ESS fraction from the same logqp stream, with a bootstrap error bar;
  5. effective samples/s = throughput * ESS  (+- error from both factors).
 
-Also reports roofline accounting for the sampling program via XLA's
-compiled-program cost analysis: achieved FLOP/s, HBM bytes/s, "mfu" (vs the
-chip's bf16 MXU peak) and "hbm_util" (vs HBM peak bandwidth), and whether
-sampling is compute- or bandwidth-bound (BASELINE.json's speed-of-light
-clause).
+Also reports a MEASURED roofline for the sampling program: the winner
+program is re-run under ``jax.profiler.trace`` and the xplane is reduced
+with xprof's op_profile -- per-op bytes come from the compiled program's
+actual buffer-space assignment (HBM vs VMEM) and per-op times are measured
+on-device, so ``hbm_util``/``mfu`` are real utilizations (<= 1 by
+construction), unlike the round-4 cost-analysis upper bound that reported
+hbm_util 2.62.  Round-5 ground truth on v5e: MFU ~0.15, HBM ~0.02, VMEM
+rd/wr ~0.06/0.12 -- the program is VPU-latency-bound with a VMEM-resident
+working set, NOT bandwidth-bound (docs/EXPERIMENTS.md round 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -39,6 +43,7 @@ numbers -- BASELINE.md; torch-CPU is its only runnable configuration here).
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -52,26 +57,6 @@ import numpy as np
 # fewer wall-clock seconds than the reference received).
 REFERENCE_EFF_SAMPLES_PER_SEC = 2.915
 
-# Peak numbers for roofline fractions, by device_kind substring.
-# (bf16 MXU FLOP/s, HBM bytes/s)
-CHIP_PEAKS = {
-    "v5 lite": (197e12, 819e9),
-    "v5e": (197e12, 819e9),
-    "v4": (275e12, 1228e9),
-    "v5p": (459e12, 2765e9),
-    "v6 lite": (918e12, 1640e9),
-    "v6e": (918e12, 1640e9),
-}
-
-
-def _chip_peaks():
-    kind = jax.devices()[0].device_kind.lower()
-    for k, v in CHIP_PEAKS.items():
-        if k in kind:
-            return v
-    return (None, None)
-
-
 def bootstrap_ess_err(logqp, n_boot=200, seed=123):
     """Bootstrap standard error of the normalized ESS."""
     from normflow__tpu.ops.stats import calc_ess
@@ -84,6 +69,115 @@ def bootstrap_ess_err(logqp, n_boot=200, seed=123):
         for _ in range(n_boot)
     ]
     return float(np.std(vals))
+
+
+def measured_roofline(model, sample_iters, batch, key):
+    """Profiler-grounded roofline of the CURRENT model's sampling program.
+
+    Captures a ``jax.profiler`` device trace of one ``logqp_stream``
+    program and reduces it with xprof's op_profile: returns utilization
+    fractions where bytes/flops come from the compiled program's buffer
+    assignment (memory-space aware) and times are measured per-op on the
+    device.  All fractions are true utilizations in [0, 1].  Returns {} if
+    the profiler tooling is unavailable (non-TPU or missing xprof).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="nf_bench_trace_")
+    try:
+        with jax.profiler.trace(tmp):
+            out = model.posterior.logqp_stream(sample_iters, batch, key=key)
+            jax.block_until_ready(out)
+        paths = glob.glob(os.path.join(tmp, "**", "*.xplane.pb"),
+                          recursive=True)
+        if not paths:
+            return {}
+        from xprof.convert import raw_to_tool_data as rtd
+
+        data, _ = rtd.xspace_to_tool_data(paths, "op_profile", {})
+        d = json.loads(data if isinstance(data, str) else data.decode())
+        root = d.get("byProgramExcludeIdle") or d.get("byProgram")
+        if root is None:
+            return {}
+        # the sampling program's node (largest non-IDLE child)
+        prog = None
+        for ch in root.get("children", []):
+            if ch.get("name", "").startswith("jit__logqp_scan"):
+                prog = ch
+        node = prog or root
+        m = node.get("metrics", {})
+        bw = m.get("bandwidthUtils", [None, None, None])
+        res = {
+            "mfu_measured": round(float(m.get("flops", 0.0)), 5),
+            "hbm_util_measured": (round(float(bw[0]), 5)
+                                  if bw and bw[0] is not None else None),
+            "vmem_rd_util": (round(float(bw[1]), 5)
+                             if bw and len(bw) > 1 and bw[1] is not None
+                             else None),
+            "vmem_wr_util": (round(float(bw[2]), 5)
+                             if bw and len(bw) > 2 and bw[2] is not None
+                             else None),
+        }
+        # device busy fraction from the raw events (the program `while`)
+        try:
+            from jax.profiler import ProfileData
+
+            pd = ProfileData.from_file(paths[0])
+            start = stop = None
+            for plane in pd.planes:
+                st = dict(plane.stats) if plane.stats else {}
+                if "profile_start_time" in st:
+                    start, stop = (st["profile_start_time"],
+                                   st["profile_stop_time"])
+            plane = pd.find_plane_with_name("/device:TPU:0")
+            if plane is not None:
+                busy = 0.0
+                for ln in plane.lines:
+                    if ln.name == "XLA Modules":
+                        busy = sum(e.duration_ns for e in ln.events)
+                if start is not None and stop is not None and stop > start:
+                    res["device_busy_frac"] = round(
+                        busy / (stop - start), 4)
+        except Exception:
+            pass
+        mfu = res.get("mfu_measured") or 0.0
+        hbm = res.get("hbm_util_measured") or 0.0
+        res["roofline_bound_measured"] = (
+            "compute" if mfu > 0.5 else
+            "bandwidth" if hbm > 0.5 else "latency/VPU")
+        return res
+    except Exception:
+        return {}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def autotune_batch(model, candidates=(128, 256, 512, 1024), iters=50,
+                   reps=3, key=None):
+    """Pick the sampling batch by a short INTERLEAVED raw-rate sweep.
+
+    The optimum shifts with lattice volume (round-4 finding: 512 at 32x32,
+    128 at 64x64/128x128 -- VMEM working-set residency), so per-volume
+    hardcoding goes stale; this measures it at run time.  ESS is
+    batch-independent, so raw rate decides.  Returns (best_batch, table).
+    """
+    key = jax.random.key(0) if key is None else key
+    progs = {}
+    for b in candidates:  # compile/warmup
+        progs[b] = model.posterior.logqp_stream(iters, b, key=key)
+        jax.block_until_ready(progs[b])
+    times = {b: [] for b in candidates}
+    for _ in range(reps):
+        for b in candidates:
+            t0 = time.time()
+            jax.block_until_ready(
+                model.posterior.logqp_stream(iters, b, key=key))
+            times[b].append(time.time() - t0)
+    rate = {b: iters * b / float(np.median(ts)) for b, ts in times.items()}
+    best = max(rate, key=rate.get)
+    return best, {b: round(r, 1) for b, r in rate.items()}
 
 
 def _probe_backend(max_tries=7):
@@ -136,11 +230,12 @@ def main():
                         "0.656/0.692/0.722 at 24k/48k/96k, raw unchanged "
                         "-- interleaved campaign, docs/EXPERIMENTS.md r4)")
     p.add_argument("--train_batch", type=int, default=512)
-    p.add_argument("--batch", type=int, default=512,
-                   help="sampling batch; 512 is the effective-rate optimum "
-                        "(466.9k vs 363.6k raw/s at 1024, 400-round scan -- "
-                        "per-sample cost degrades as the working set grows "
-                        "past VMEM; docs/EXPERIMENTS.md batch sweeps)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="sampling batch; 0 (default) = autotune with a "
+                        "short interleaved sweep over 128/256/512/1024 on "
+                        "the trained flow (the optimum shifts with volume: "
+                        "512 at 32x32, 128 at 64x64 -- round-4 sweeps); "
+                        "pass a value to pin it")
     p.add_argument("--sample_iters", type=int, default=400)
     p.add_argument("--steps_per_call", type=int, default=1000)
     p.add_argument("--reps", type=int, default=5)
@@ -199,6 +294,19 @@ def main():
             backends += ["pallas", "pallas_reg"]
     nets = {b: with_backend(b) for b in backends}
 
+    # sampling-batch autotune (round-4 finding: the optimum shifts with
+    # volume; round-5 makes bench pick it at run time).  Uses the bf16 arm
+    # when available (the usual winner) -- raw-rate ORDER across batches is
+    # arm-independent.
+    batch_table = None
+    if args.batch == 0:
+        tune_backend = "xla_bf16" if "xla_bf16" in backends else "xla"
+        model.net_ = nets[tune_backend]
+        args.batch, batch_table = autotune_batch(
+            model, key=jax.random.key(args.seed + 2))
+        print(f"[bench] autotuned sampling batch: {args.batch} "
+              f"(raw/s {batch_table})", flush=True)
+
     key = jax.random.key(args.seed + 1)
     k1, k2 = jax.random.split(key)
     times = {b: [] for b in backends}
@@ -239,17 +347,19 @@ def main():
     rel_e = ess_err / max(ess, 1e-12)
     eff_err = eff_samples_per_sec * float(np.hypot(rel_t, rel_e))
 
-    # -- roofline accounting for the sampling program ------------------- #
-    # XLA's compiled-program cost analysis counts a while-loop BODY once,
-    # independent of trip count (verified: identical flops for length 5
-    # and 50 scans), so totals are per-scan-iteration, i.e. per `batch`
-    # samples.  "bytes accessed" counts op operand bytes, which OVERcounts
-    # HBM traffic when XLA fuses intermediates into VMEM -- hbm_util is an
-    # upper bound on true HBM utilization.
-    mfu = hbm_util = None
-    flops_per_sample = bytes_per_sample = None
-    bound = None
+    # -- roofline: MEASURED from a device profile of the winner program -- #
+    # (round-5: replaces the cost-analysis upper bound, which reported the
+    # physically impossible hbm_util 2.62 -- operand-byte counting ignores
+    # the compiled program's actual VMEM residency).
+    roofline = {}
+    flops_per_sample = None
+    if jax.devices()[0].platform == "tpu":
+        roofline = measured_roofline(model, args.sample_iters, args.batch,
+                                     key=k2)
     try:
+        # model FLOPs per sample from cost analysis (per-iteration body,
+        # counted once regardless of trip count) -- an op-count statistic,
+        # kept for cross-run comparability; utilizations above are measured.
         from normflow__tpu.training.model import _logqp_scan
 
         compiled = _logqp_scan.lower(
@@ -258,15 +368,6 @@ def main():
         ca_list = compiled.cost_analysis()
         ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
         flops_per_sample = float(ca.get("flops", 0.0)) / args.batch
-        bytes_per_sample = float(ca.get("bytes accessed", 0.0)) / args.batch
-        peak_flops, peak_bw = _chip_peaks()
-        if peak_flops:
-            mfu = round(flops_per_sample * samples_per_sec / peak_flops, 5)
-            hbm_util = round(
-                bytes_per_sample * samples_per_sec / peak_bw, 5)
-            bound = ("bandwidth"
-                     if bytes_per_sample / peak_bw
-                     > flops_per_sample / peak_flops else "compute")
     except Exception:
         pass
 
@@ -292,14 +393,13 @@ def main():
         "backend_eff_per_s": {b: round(v, 1) for b, v in eff_by.items()},
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
+        "sampling_batch": args.batch,
     }
-    if mfu is not None:
-        out["mfu"] = mfu
-        out["hbm_util"] = hbm_util
-        out["roofline_bound"] = bound
+    if batch_table is not None:
+        out["batch_autotune_raw_per_s"] = batch_table
+    out.update(roofline)
     if flops_per_sample is not None:
         out["flops_per_sample"] = round(flops_per_sample)
-        out["bytes_per_sample"] = round(bytes_per_sample)
     print(json.dumps(out))
 
 
