@@ -61,13 +61,15 @@ class Fitter:
         self._step_fn = None
         self._eval_fn = None
         self._has_controls = False
+        self.rewind_on_spike = None
+        self.max_rewinds = 10
 
     # ------------------------------------------------------------------ #
     def __call__(self, n_epochs=1000, save_every=None, batch_size=64,
                  optimizer_class="adamw", scheduler=None, loss_fn=None,
                  hyperparam=None, checkpoint_dict=None, param_groups=None,
                  steps_per_call=None, grad_estimator="rep",
-                 clip_grad_norm=None):
+                 clip_grad_norm=None, rewind_on_spike=None):
         """Fit the model (reference _normflowcore.py:151-219).
 
         ``optimizer_class``: an optax GradientTransformation factory
@@ -86,6 +88,16 @@ class Fitter:
         trainable leaves) to this value before the optimizer update --
         recommended for long, high-lr runs where a single outlier batch
         can otherwise blow up the Adam second moments.
+        ``rewind_on_spike``: if set (a float, in loss units), arm the
+        divergence safeguard: after every scanned segment the segment's
+        median loss is compared against the best segment median so far,
+        and a jump past ``best + rewind_on_spike`` (or a non-finite
+        segment) rewinds net AND optimizer state to the last healthy
+        snapshot and re-seeds the RNG stream, giving the trajectory a
+        fresh draw from a known-good point.  Catches the finite-loss
+        spiral collapses that the per-step NaN guard cannot (loss -903 ->
+        +81k within a segment, observed in long U(1)/phi^4 runs --
+        docs/EXPERIMENTS.md).  At most ``self.max_rewinds`` rewinds.
         """
         self.hyperparam.update(hyperparam or {})
         self.checkpoint_dict.update(checkpoint_dict or {})
@@ -94,6 +106,7 @@ class Fitter:
         if save_every is None:
             save_every = n_epochs
         self.grad_estimator = grad_estimator
+        self.rewind_on_spike = rewind_on_spike
         if grad_estimator == "path" and self.loss_fn is not losses.calc_kl_mean:
             # the path estimator drops the score term, which is an unbiased
             # simplification only for reverse-KL-style expectations
@@ -336,6 +349,12 @@ class Fitter:
                 stops.append((epoch // save_every + 1) * save_every)
             return min(s for s in stops if s > epoch)
 
+        guard = self.rewind_on_spike
+        if guard is not None:
+            last_good = (model.net_, self.opt_state)
+            best_seg = np.inf
+            rewinds = self.train_history.setdefault("rewinds", [])
+
         t1 = time.time()
         epoch = 0
         while epoch < n_epochs:
@@ -354,6 +373,27 @@ class Fitter:
             # ~50 ms round trip PER ELEMENT on remote/tunneled devices and
             # silently dominated the epoch loop (~10x the compute time).
             losses_np = np.atleast_1d(np.asarray(jax.device_get(losses)))
+            if guard is not None:
+                seg_med = (float(np.median(losses_np))
+                           if np.isfinite(losses_np).all() else np.inf)
+                if seg_med > best_seg + guard:
+                    if len(rewinds) < self.max_rewinds:
+                        model.net_, self.opt_state = last_good
+                        # fresh trajectory from the healthy point: advance
+                        # the RNG stream past the segment that diverged
+                        model._key = jax.random.fold_in(
+                            model._key, 7919 + len(rewinds))
+                        rewinds.append(epoch)
+                        if model.device_handler.rank == 0:
+                            print(f"Epoch {epoch} | loss spike "
+                                  f"{seg_med:g} > best {best_seg:g} + "
+                                  f"{guard:g}: rewound to last healthy "
+                                  f"snapshot ({len(rewinds)}/"
+                                  f"{self.max_rewinds})")
+                        continue
+                else:
+                    best_seg = min(best_seg, seg_med)
+                    last_good = (model.net_, self.opt_state)
             if model.device_handler.rank == 0:
                 self.train_history["loss"].extend(losses_np.tolist())
             self.checkpoint(epoch, losses_np[-1], save_every)

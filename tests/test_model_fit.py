@@ -232,3 +232,58 @@ def test_steps_per_call_equivalent_history_length():
                 hyperparam=dict(lr=0.01, weight_decay=0.0),
                 checkpoint_dict=dict(print_stride=None), steps_per_call=10)
     assert len(h1["loss"]) == 37
+
+
+def test_rewind_on_spike_healthy_run_is_transparent():
+    """With the spike guard armed, a healthy run must produce the exact
+    same loss history as an unguarded one (same seed, same key stream)."""
+    m1 = _zerodim_model()
+    h1 = m1.fit(n_epochs=30, batch_size=32,
+                hyperparam=dict(lr=0.01, weight_decay=0.0),
+                checkpoint_dict=dict(print_stride=None), steps_per_call=10)
+    m2 = _zerodim_model()
+    h2 = m2.fit(n_epochs=30, batch_size=32,
+                hyperparam=dict(lr=0.01, weight_decay=0.0),
+                checkpoint_dict=dict(print_stride=None), steps_per_call=10,
+                rewind_on_spike=1e6)
+    np.testing.assert_array_equal(np.asarray(h1["loss"]),
+                                  np.asarray(h2["loss"]))
+    assert h2.get("rewinds", []) == []
+
+
+def test_rewind_on_spike_rewinds_and_reseeds():
+    """Force a divergence via a stubbed multi-step fn: the guard must
+    restore net+opt_state to the last healthy snapshot, re-seed the key
+    stream, record the event, and keep training within the epoch budget."""
+    model = _zerodim_model()
+    fit = model.fit
+    fit.hyperparam = dict(lr=0.01, weight_decay=0.0)
+    fit.checkpoint_dict["print_stride"] = None
+    fit.optimizer = fit._build_optimizer("adamw", None, None)
+    fit.opt_state = fit.optimizer.init(model.net_)
+    fit._step_fn = fit._make_step_fn()
+    fit.rewind_on_spike = 10.0
+
+    calls = {"n": 0}
+    real_multi = fit._multi_step_fn
+    spike_at = 2  # second segment diverges
+
+    def fake_multi(net, opt_state, key, batch_size, n_steps):
+        calls["n"] += 1
+        net2, opt2, losses = real_multi(net, opt_state, key, batch_size,
+                                        n_steps)
+        if calls["n"] == spike_at:
+            # a finite spiral the NaN guard cannot catch
+            return net2, opt2, losses + 1e4
+        return net2, opt2, losses
+
+    fit._multi_step_fn = fake_multi
+    key_before = model._key
+    hist = fit.train(30, batch_size=32, steps_per_call=10)
+    assert hist["rewinds"] == [20]
+    # the spiked segment's losses never entered the history, and training
+    # continued to the full epoch budget with healthy segments
+    assert len(hist["loss"]) == 20
+    assert np.isfinite(hist["loss"]).all()
+    assert max(hist["loss"]) < 1e3
+    assert calls["n"] == 3
