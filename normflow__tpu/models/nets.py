@@ -71,16 +71,22 @@ class CircularConv(Pytree):
     weight: jax.Array
     bias: jax.Array | None
     conv_dim: int = static(default=2)
+    dilation: int = static(default=1)
 
     @classmethod
     def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
-              bias=True, dtype=None):
+              bias=True, dtype=None, dilation=1):
+        """``dilation > 1`` spaces the kernel taps ``dilation`` sites apart
+        (circular wrap preserved): a one-line receptive-field multiplier
+        for deep conditioners without extra parameters or FLOPs --
+        ``lax.conv_general_dilated``'s ``rhs_dilation`` (the axis the
+        reference's ConvAct never exposes, modules.py:114-118)."""
         dtype = dtype or jnp.result_type(float)
         ks = ((kernel_size,) * conv_dim if isinstance(kernel_size, int)
               else tuple(kernel_size))
         assert len(ks) == conv_dim and 1 <= conv_dim <= 4
         w, b = _torch_conv_init(key, ks, in_channels, out_channels, dtype, bias)
-        return cls(weight=w, bias=b, conv_dim=conv_dim)
+        return cls(weight=w, bias=b, conv_dim=conv_dim, dilation=int(dilation))
 
     @property
     def kernel_size(self):
@@ -99,18 +105,21 @@ class CircularConv(Pytree):
     def _convnd(self, x, w):
         nd = w.ndim - 2
         ks = w.shape[:nd]
-        # periodic 'same' padding: total pad k-1, split ((k-1)//2, k//2)
-        # to match torch's padding='same' site alignment (torch puts the
-        # extra pad of an even kernel on the right; only even kernels
-        # are sensitive to the split).
-        pad = [(0, 0)] + [((k - 1) // 2, k // 2) for k in ks] + [(0, 0)]
+        d = self.dilation
+        # periodic 'same' padding for the EFFECTIVE (dilated) kernel extent
+        # e = (k-1)*d + 1: total pad e-1, split ((e-1)//2, e//2) to match
+        # torch's padding='same' site alignment (torch puts the extra pad
+        # of an even kernel on the right; only even kernels are sensitive
+        # to the split).
+        pad = [(0, 0)] + [(((k - 1) * d) // 2, ((k - 1) * d + 1) // 2)
+                          for k in ks] + [(0, 0)]
         x = jnp.pad(x, pad, mode="wrap")
         spec = "".join("DHW"[3 - nd:][i] for i in range(nd))
         dn = jax.lax.conv_dimension_numbers(
             x.shape, w.shape, (f"N{spec}C", f"{spec}IO", f"N{spec}C"))
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(1,) * nd, padding="VALID",
-            dimension_numbers=dn)
+            rhs_dilation=(d,) * nd, dimension_numbers=dn)
 
     def _conv4d(self, x):
         # Roll-and-sum over the leading kernel axis: a 4-D circular conv is a
@@ -119,7 +128,7 @@ class CircularConv(Pytree):
         k0 = self.weight.shape[0]
         y = 0.0
         for i in range(k0):
-            shift = i - (k0 - 1) // 2
+            shift = (i - (k0 - 1) // 2) * self.dilation
             xi = jnp.roll(x, -shift, axis=1)
             y = y + self._convnd(
                 xi.reshape((-1, *x.shape[2:])), self.weight[i]
@@ -143,19 +152,31 @@ class ConvNet(Pytree):
     @classmethod
     def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
               hidden_sizes=(), acts=(None,), pre_act=None, bias=True,
-              dtype=None, compute_dtype=None):
+              dtype=None, compute_dtype=None, dilations=None):
         """``compute_dtype='bfloat16'`` runs the conv stack on the MXU in
         bf16 (params stay in ``dtype``); the output is cast back.  The conv
         net only *parameterizes* the transform -- the flow's log-Jacobian is
         computed exactly from its (cast-back) outputs, so invertibility and
-        logq consistency are unaffected."""
+        logq consistency are unaffected.
+
+        ``dilations``: per-layer kernel dilation (int or one per layer);
+        e.g. ``(1, 2, 4)`` grows the stack's receptive field exponentially
+        at zero extra parameters/FLOPs."""
         sizes = [in_channels, *hidden_sizes, out_channels]
         acts = tuple(acts)
         assert len(acts) == len(hidden_sizes) + 1
+        if dilations is None:
+            dilations = (1,) * len(acts)
+        elif isinstance(dilations, int):
+            dilations = (dilations,) * len(acts)
+        else:
+            dilations = tuple(dilations)
+        assert len(dilations) == len(acts)
         keys = jax.random.split(key, len(acts))
         layers = tuple(
             CircularConv.build(k, sizes[i], sizes[i + 1], kernel_size,
-                               conv_dim=conv_dim, bias=bias, dtype=dtype)
+                               conv_dim=conv_dim, bias=bias, dtype=dtype,
+                               dilation=dilations[i])
             for i, k in enumerate(keys)
         )
         return cls(layers=layers, acts=acts, pre_act=pre_act,

@@ -51,7 +51,8 @@ def with_conv_compute_dtype(net_, dtype):
 def build_phi4_model(lat_shape=(32, 32), *, kappa=0.6, m_sq=-2.4, lambd=0.5,
                      knots=12, hidden=(24, 24), n_layers=4, dc_knots=16,
                      packed=True, parity_feature=None, kernel_size=3,
-                     coupling_backend="xla", seed=0, dtype=None) -> Model:
+                     coupling_backend="xla", seed=0, dtype=None,
+                     conv_dilations=None) -> Model:
     """The 2-D phi^4 flagship: PSD block -> DistConvertor -> RQ-spline
     coupling stack -> DistConvertor (BASELINE configs 2-4).
 
@@ -74,7 +75,7 @@ def build_phi4_model(lat_shape=(32, 32), *, kappa=0.6, m_sq=-2.4, lambd=0.5,
         in_channels=in_ch, out_channels=3 * knots - 2,
         hidden_sizes=tuple(hidden), kernel_size=kernel_size,
         conv_dim=len(lat_shape), acts=("tanh",) * len(hidden) + (None,),
-        bias=False, dtype=dtype)
+        bias=False, dtype=dtype, dilations=conv_dilations)
 
     def make_net(k):
         net = ConvAct.build(k, **conv_kwargs)
