@@ -54,6 +54,9 @@ def main():
     p.add_argument("--sample_iters", type=int, default=100)
     p.add_argument("--ft_epochs", type=int, default=0)
     p.add_argument("--ft_lr", type=float, default=1e-3)
+    p.add_argument("--ft_clip", type=float, default=25.0)
+    p.add_argument("--ft_spike", type=float, default=None,
+                   help="arm the rewind_on_spike guard during fine-tune")
     p.add_argument("--train_batch", type=int, default=128)
     p.add_argument("--steps_per_call", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -99,9 +102,13 @@ def main():
                  scheduler=optax.cosine_decay_schedule(
                      1.0, decay_steps=args.ft_epochs, alpha=0.05),
                  steps_per_call=args.steps_per_call,
-                 grad_estimator="path", clip_grad_norm=25.0,
+                 grad_estimator="path", clip_grad_norm=args.ft_clip,
+                 rewind_on_spike=args.ft_spike,
                  checkpoint_dict=dict(print_stride=None))
         out["ft_train_s"] = round(time.time() - t0, 1)
+        out["ft"] = dict(epochs=args.ft_epochs, lr=args.ft_lr,
+                         clip=args.ft_clip, spike=args.ft_spike,
+                         batch=args.train_batch)
         m128.net_ = with_conv_compute_dtype(m128.net_, "bfloat16")
         out["lat128_finetuned"] = measure(m128, args.batch,
                                           args.sample_iters, kft)
