@@ -373,6 +373,11 @@ def main():
 
     vs = (eff_samples_per_sec / REFERENCE_EFF_SAMPLES_PER_SEC
           if REFERENCE_EFF_SAMPLES_PER_SEC else 1.0)
+    # vs_baseline conflates hardware and framework: the reference runs
+    # only on this host's CPU (torch has no TPU backend), so the ratio is
+    # "this framework on its target silicon vs the reference on its only
+    # runnable configuration here" -- labeled explicitly rather than
+    # presented as a same-hardware speedup (round-4 VERDICT weak #5).
     out = {
         "metric": f"effective samples/s/chip, {args.lat}x{args.lat} phi^4",
         "value": round(eff_samples_per_sec, 3),
@@ -394,6 +399,14 @@ def main():
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
         "sampling_batch": args.batch,
+        "baseline": {
+            "eff_per_s": REFERENCE_EFF_SAMPLES_PER_SEC,
+            "config": "jkomijani/normflow_ (torch), identical 32x32 "
+                      "architecture, this host's CPU -- the reference's "
+                      "only runnable configuration here",
+            "caveat": "vs_baseline is a cross-hardware+framework ratio, "
+                      "not a same-silicon speedup",
+        },
     }
     if batch_table is not None:
         out["batch_autotune_raw_per_s"] = batch_table

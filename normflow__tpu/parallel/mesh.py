@@ -196,6 +196,18 @@ class ModelDeviceHandler:
         """The reference forks one process per GPU (device/_core.py:51-85).
         JAX is SPMD -- there is nothing to spawn on a single host; attach a
         mesh instead.  This shim distributes over ``nranks`` local devices
-        and calls ``fn(model, *args, **kwargs)`` once."""
+        and calls ``fn(model, *args, **kwargs)`` ONCE (not nranks times):
+        a ported script relying on per-rank side effects (per-rank files,
+        prints, seeds) must be restructured around the mesh, so the
+        semantic change is warned about loudly rather than silently
+        absorbed."""
+        import warnings
+
+        warnings.warn(
+            "spawnprocesses is a parity shim: fn runs ONCE on an "
+            f"{nranks}-device mesh (SPMD), not {nranks} times in child "
+            "processes.  Per-rank side effects in fn will not happen "
+            "per-rank; see docs/DISTRIBUTED.md for the mesh idiom.",
+            stacklevel=2)
         self.use_mesh(n_devices=nranks)
         return fn(self._model, *args, **kwargs)
