@@ -92,17 +92,26 @@ class CircularConv(Pytree):
     def kernel_size(self):
         return self.weight.shape[: self.conv_dim]
 
-    def __call__(self, x):
+    def __call__(self, x, out_dtype=None):
+        """``out_dtype`` (round 5): emit the conv result directly in that
+        dtype via XLA's ``preferred_element_type`` — the MXU accumulates in
+        f32 regardless, so a bf16 compute stack can write its FINAL f32
+        output in the conv epilogue instead of a separate ``copy_convert``
+        op (measured 108 us/iter, 11% of the flagship sampling program —
+        docs/EXPERIMENTS.md round-5 roofline)."""
         nd = self.conv_dim
         if nd <= 3:
-            y = self._convnd(x, self.weight)
+            y = self._convnd(x, self.weight, out_dtype)
         else:
-            y = self._conv4d(x)
+            y = self._conv4d(x, out_dtype)
         if self.bias is not None:
-            y = y + self.bias
+            b = self.bias
+            if out_dtype is not None:
+                b = b.astype(out_dtype)
+            y = y + b
         return y
 
-    def _convnd(self, x, w):
+    def _convnd(self, x, w, out_dtype=None):
         nd = w.ndim - 2
         ks = w.shape[:nd]
         d = self.dilation
@@ -119,9 +128,10 @@ class CircularConv(Pytree):
             x.shape, w.shape, (f"N{spec}C", f"{spec}IO", f"N{spec}C"))
         return jax.lax.conv_general_dilated(
             x, w, window_strides=(1,) * nd, padding="VALID",
-            rhs_dilation=(d,) * nd, dimension_numbers=dn)
+            rhs_dilation=(d,) * nd, dimension_numbers=dn,
+            preferred_element_type=out_dtype)
 
-    def _conv4d(self, x):
+    def _conv4d(self, x, out_dtype=None):
         # Roll-and-sum over the leading kernel axis: a 4-D circular conv is a
         # sum of 3-D circular convs of the input rolled along axis 1
         # (reference convNd.py:86-126, re-derived for channels-last).
@@ -131,7 +141,7 @@ class CircularConv(Pytree):
             shift = (i - (k0 - 1) // 2) * self.dilation
             xi = jnp.roll(x, -shift, axis=1)
             y = y + self._convnd(
-                xi.reshape((-1, *x.shape[2:])), self.weight[i]
+                xi.reshape((-1, *x.shape[2:])), self.weight[i], out_dtype
             ).reshape((*x.shape[:-1], self.weight.shape[-1]))
         return y
 
@@ -148,6 +158,11 @@ class ConvNet(Pytree):
     acts: tuple = static(default=(None,))
     pre_act: str | None = static(default=None)
     compute_dtype: str | None = static(default=None)
+    # When running under a reduced compute_dtype and the final layer has no
+    # activation, emit the final conv directly in the caller's dtype via
+    # preferred_element_type (MXU epilogue cast) instead of a separate
+    # copy_convert op.  Off switch kept for A/B only.
+    fuse_out_cast: bool = static(default=True)
 
     @classmethod
     def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,
@@ -191,8 +206,13 @@ class ConvNet(Pytree):
             net = jax.tree_util.tree_map(lambda p: p.astype(cd), self)
         if net.pre_act is not None:
             x = ACTIVATIONS[net.pre_act](x)
-        for layer, act in zip(net.layers, net.acts):
-            x = layer(x)
+        n_last = len(net.layers) - 1
+        for i, (layer, act) in enumerate(zip(net.layers, net.acts)):
+            fuse = (i == n_last and act is None and net.fuse_out_cast
+                    and self.compute_dtype is not None
+                    and jnp.dtype(out_dtype) != jnp.dtype(
+                        self.compute_dtype))
+            x = layer(x, out_dtype=out_dtype if fuse else None)
             if act is not None:
                 x = ACTIVATIONS[act](x)
         return x.astype(out_dtype)

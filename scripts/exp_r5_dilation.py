@@ -51,6 +51,12 @@ def main():
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--knots", type=int, default=12)
+    p.add_argument("--control_snapshot", default=None,
+                   help="trained snapshot for the UNDILATED control arm "
+                        "(exp_r5_knots e96_L4_k12 -- the identical "
+                        "seed/math trajectory); loading it skips the "
+                        "880 s retrain while keeping the control in the "
+                        "interleaved sampling A/B")
     p.add_argument("--snapshot_dir", default="runs/r5_dilation")
     p.add_argument("--out", default="runs/r5_dilation.jsonl")
     p.add_argument("--platform", default=None)
@@ -73,9 +79,19 @@ def main():
     for name, dil, epochs in arms:
         if args.max_epochs is not None:
             epochs = min(epochs, args.max_epochs)
-        print(f"[r5-dil] training {name} ...", flush=True)
         m = build_phi4_model((32, 32), seed=args.seed, n_layers=4,
                              knots=args.knots, conv_dilations=dil)
+        if dil is None and args.control_snapshot:
+            from normflow__tpu.training.checkpoint import load_snapshot
+
+            print(f"[r5-dil] loading control {name} from "
+                  f"{args.control_snapshot}", flush=True)
+            m.net_, _, _, _ = load_snapshot(args.control_snapshot,
+                                            net=m.net_)
+            train_s[name] = 0.0
+            models[name] = m
+            continue
+        print(f"[r5-dil] training {name} ...", flush=True)
         t0 = time.time()
         m.fit(n_epochs=epochs, batch_size=args.train_batch,
               hyperparam=dict(lr=3e-3, weight_decay=1e-4),
