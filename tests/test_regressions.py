@@ -332,3 +332,45 @@ def test_host_scan_device_selection(monkeypatch):
     s_dev = Metropolis.calc_accept_status(logqp,
                                           rng=np.random.default_rng(11))
     np.testing.assert_array_equal(np.asarray(s_np), np.asarray(s_dev))
+
+
+def test_fused_out_cast_matches_unfused_bf16():
+    """Round 5: the final bf16 conv emits f32 via preferred_element_type
+    (MXU-epilogue cast) instead of a separate copy_convert.  The fused
+    path must agree with the unfused one to bf16 rounding, engage ONLY
+    under a reduced compute_dtype (f32 flows bit-unchanged), and keep the
+    flow exactly invertible."""
+    import jax.numpy as jnp
+
+    from normflow__tpu.models.nets import ConvNet
+    from normflow__tpu.zoo import build_phi4_model, with_conv_compute_dtype
+
+    def set_fuse(net_, on):
+        is_conv = lambda n: isinstance(n, ConvNet)
+        return jax.tree_util.tree_map(
+            lambda n: n.replace(fuse_out_cast=on) if is_conv(n) else n,
+            net_, is_leaf=is_conv)
+
+    model = build_phi4_model((8, 8), knots=4, hidden=(4,), seed=0,
+                             dtype=jnp.float32)
+    x = model.prior.sample(jax.random.key(2), 16).astype(jnp.float32)
+
+    # f32 path: flag is a no-op bit-for-bit
+    y_on, lj_on = set_fuse(model.net_, True).forward(x)
+    y_off, lj_off = set_fuse(model.net_, False).forward(x)
+    np.testing.assert_array_equal(np.asarray(y_on), np.asarray(y_off))
+    np.testing.assert_array_equal(np.asarray(lj_on), np.asarray(lj_off))
+
+    # bf16 path: fused agrees with unfused to bf16 rounding, f32 dtype out
+    net16 = with_conv_compute_dtype(model.net_, "bfloat16")
+    yf, ljf = set_fuse(net16, True).forward(x)
+    yu, lju = set_fuse(net16, False).forward(x)
+    assert yf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yu),
+                               rtol=0.05, atol=0.05)
+    # invertibility of the fused flow (conditioner outputs are shared by
+    # forward and backward, so the roundtrip is tight, not bf16-loose)
+    xr, ljr = set_fuse(net16, True).backward(yf)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ljf + ljr), 0.0, atol=1e-3)
