@@ -242,7 +242,20 @@ def main():
     p.add_argument("--lat", type=int, default=32)
     p.add_argument("--n_layers", type=int, default=4,
                    help="coupling layers (capacity experiments)")
-    p.add_argument("--knots", type=int, default=12)
+    p.add_argument("--knots", type=int, default=8,
+                   help="8 is the round-5 knots-at-convergence winner: "
+                        "-0.031 ESS for +12% raw = +7.1% eff/s over 12 "
+                        "(interleaved 96k-epoch A/B, docs/EXPERIMENTS.md "
+                        "r5; the round-2 12-knot default was an "
+                        "optimization-limited reading)")
+    p.add_argument("--rng_impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG for the SAMPLING stream: rbg measured +3.3% "
+                        "raw at equal ESS over threefry on v5e (round-5 "
+                        "micro A/B; RNG is part of the VPU small-op tail "
+                        "the measured roofline identified).  Training "
+                        "keys are untouched; Metropolis exactness does "
+                        "not depend on the generator")
     p.add_argument("--hidden", type=int, nargs="*", default=[24, 24])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_pallas", action="store_true")
@@ -303,11 +316,11 @@ def main():
         tune_backend = "xla_bf16" if "xla_bf16" in backends else "xla"
         model.net_ = nets[tune_backend]
         args.batch, batch_table = autotune_batch(
-            model, key=jax.random.key(args.seed + 2))
+            model, key=jax.random.key(args.seed + 2, impl=args.rng_impl))
         print(f"[bench] autotuned sampling batch: {args.batch} "
               f"(raw/s {batch_table})", flush=True)
 
-    key = jax.random.key(args.seed + 1)
+    key = jax.random.key(args.seed + 1, impl=args.rng_impl)
     k1, k2 = jax.random.split(key)
     times = {b: [] for b in backends}
     logqp_by = {}
@@ -399,6 +412,8 @@ def main():
         "train_time_s": round(train_time, 1),
         "platform": jax.devices()[0].platform,
         "sampling_batch": args.batch,
+        "knots": args.knots,
+        "rng_impl": args.rng_impl,
         "baseline": {
             "eff_per_s": REFERENCE_EFF_SAMPLES_PER_SEC,
             "config": "jkomijani/normflow_ (torch), identical 32x32 "

@@ -161,8 +161,12 @@ class ConvNet(Pytree):
     # When running under a reduced compute_dtype and the final layer has no
     # activation, emit the final conv directly in the caller's dtype via
     # preferred_element_type (MXU epilogue cast) instead of a separate
-    # copy_convert op.  Off switch kept for A/B only.
-    fuse_out_cast: bool = static(default=True)
+    # copy_convert op.  MEASURED NEGATIVE on v5e (round-5 micro A/B,
+    # interleaved: -2.7% raw -- the f32-output conv loses more than the
+    # 108 us copy_convert saved, likely an output-tiling cost), so the
+    # default stays off; the switch is kept because the trade is
+    # hardware-generation dependent.
+    fuse_out_cast: bool = static(default=False)
 
     @classmethod
     def build(cls, key, in_channels, out_channels, kernel_size, conv_dim=2,

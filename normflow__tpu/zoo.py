@@ -49,19 +49,22 @@ def with_conv_compute_dtype(net_, dtype):
 
 
 def build_phi4_model(lat_shape=(32, 32), *, kappa=0.6, m_sq=-2.4, lambd=0.5,
-                     knots=12, hidden=(24, 24), n_layers=4, dc_knots=16,
+                     knots=8, hidden=(24, 24), n_layers=4, dc_knots=16,
                      packed=True, parity_feature=None, kernel_size=3,
                      coupling_backend="xla", seed=0, dtype=None,
                      conv_dilations=None) -> Model:
     """The 2-D phi^4 flagship: PSD block -> DistConvertor -> RQ-spline
     coupling stack -> DistConvertor (BASELINE configs 2-4).
 
-    ``knots=12`` and ``hidden=(24, 24)`` are the round-2 study winners
-    (docs/EXPERIMENTS.md): 12 spline knots beat 8 (ESS 0.463 vs 0.367 at
-    12k epochs) and 16 (eff/s); 24-channel conditioner convs cost no raw
-    speed on the bf16 MXU sampling path and buy +1.5% ESS over 16
-    (interleaved A/B; 32 channels cross a tile boundary and lose 11%
-    raw)."""
+    ``knots=8`` is the round-5 knots-at-convergence winner
+    (docs/EXPERIMENTS.md): at the converged 96k-epoch protocol it trades
+    -0.031 ESS for +12% raw = +7.1% effective rate over 12 knots (the
+    round-2 "8 knots loses ESS" reading was optimization-limited at 12k
+    epochs; 12 knots remains the per-site-QUALITY winner, ESS 0.7219 vs
+    0.6907, and is what the coarse-to-fine volume-transfer recipes use).
+    ``hidden=(24, 24)``: 24-channel conditioner convs cost no raw speed
+    on the bf16 MXU sampling path and buy +1.5% ESS over 16 (interleaved
+    A/B; 32 channels cross a tile boundary and lose 11% raw)."""
     lat_shape = tuple(lat_shape)
     if parity_feature is None:
         parity_feature = packed
