@@ -63,13 +63,16 @@ class Fitter:
         self._has_controls = False
         self.rewind_on_spike = None
         self.max_rewinds = 10
+        self.rewind_lr_backoff = None
+        self._lr_scale = 1.0
 
     # ------------------------------------------------------------------ #
     def __call__(self, n_epochs=1000, save_every=None, batch_size=64,
                  optimizer_class="adamw", scheduler=None, loss_fn=None,
                  hyperparam=None, checkpoint_dict=None, param_groups=None,
                  steps_per_call=None, grad_estimator="rep",
-                 clip_grad_norm=None, rewind_on_spike=None):
+                 clip_grad_norm=None, rewind_on_spike=None,
+                 rewind_lr_backoff=None):
         """Fit the model (reference _normflowcore.py:151-219).
 
         ``optimizer_class``: an optax GradientTransformation factory
@@ -107,6 +110,16 @@ class Fitter:
             save_every = n_epochs
         self.grad_estimator = grad_estimator
         self.rewind_on_spike = rewind_on_spike
+        # ``rewind_lr_backoff`` (round 5): multiply the effective lr by this
+        # factor on EVERY rewind (a traced update scale, so no recompile).
+        # Rationale: rewind+reseed alone rescues only transient spikes --
+        # the deterministic "landscape walk" collapses (U(1) 2-cycle, 3 of
+        # 4 probed) re-enter the same spiral from the healthy snapshot
+        # regardless of the RNG stream; shrinking the step is the knob
+        # noise cannot provide (round-4 clip-3 evidence says gradient
+        # magnitude is partly implicated).
+        self.rewind_lr_backoff = rewind_lr_backoff
+        self._lr_scale = 1.0
         if grad_estimator == "path" and self.loss_fn is not losses.calc_kl_mean:
             # the path estimator drops the score term, which is an unbiased
             # simplification only for reverse-KL-style expectations
@@ -219,7 +232,7 @@ class Fitter:
 
         keyed_action = hasattr(action, "with_key")
 
-        def step_core(net, opt_state, key, batch_size):
+        def step_core(net, opt_state, key, batch_size, lr_scale=1.0):
             if has_ctrl:
                 from ..models.couplings import refresh_controls
 
@@ -257,6 +270,11 @@ class Fitter:
             (loss, (logq, logp)), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(net)
             updates, new_opt = optimizer.update(grads, opt_state, net)
+            # rewind-lr-backoff hook: scaling the (post-optimizer) update
+            # is exactly lr -> lr_scale*lr for adamw/adam/sgd, without
+            # rebuilding the optimizer or invalidating its state
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale,
+                                             updates)
             new_net = optax.apply_updates(net, updates)
             # NaN guard (reference _normflowcore.py:289-292): keep the old
             # params AND optimizer state on divergent steps.  Checking the
@@ -272,18 +290,19 @@ class Fitter:
             return sel(net, new_net), sel(opt_state, new_opt), loss, logq - logp
 
         @partial(jax.jit, static_argnums=(3,))
-        def step(net, opt_state, key, batch_size):
-            return step_core(net, opt_state, key, batch_size)
+        def step(net, opt_state, key, batch_size, lr_scale=1.0):
+            return step_core(net, opt_state, key, batch_size, lr_scale)
 
         # Multi-epoch segment in ONE device program (lax.scan over steps):
         # removes per-epoch Python/dispatch overhead from the hot loop -- the
         # TPU-native replacement for the reference's Python epoch loop.
         @partial(jax.jit, static_argnums=(3, 4))
-        def multi_step(net, opt_state, key, batch_size, n_steps):
+        def multi_step(net, opt_state, key, batch_size, n_steps,
+                       lr_scale=1.0):
             def body(carry, k):
                 net, opt_state = carry
                 net, opt_state, loss, _ = step_core(net, opt_state, k,
-                                                    batch_size)
+                                                    batch_size, lr_scale)
                 return (net, opt_state), loss
 
             keys = jax.random.split(key, n_steps)
@@ -365,7 +384,7 @@ class Fitter:
             else:
                 net, self.opt_state, losses = self._multi_step_fn(
                     model.net_, self.opt_state, model.next_key(),
-                    self.train_batch_size, seg)
+                    self.train_batch_size, seg, self._lr_scale)
                 model.net_ = net
             epoch += seg
             # ONE bulk device->host transfer per segment.  Iterating the
@@ -384,12 +403,16 @@ class Fitter:
                         model._key = jax.random.fold_in(
                             model._key, 7919 + len(rewinds))
                         rewinds.append(epoch)
+                        if self.rewind_lr_backoff is not None:
+                            self._lr_scale *= float(self.rewind_lr_backoff)
                         if model.device_handler.rank == 0:
+                            back = (f", lr scale -> {self._lr_scale:g}"
+                                    if self.rewind_lr_backoff else "")
                             print(f"Epoch {epoch} | loss spike "
                                   f"{seg_med:g} > best {best_seg:g} + "
                                   f"{guard:g}: rewound to last healthy "
                                   f"snapshot ({len(rewinds)}/"
-                                  f"{self.max_rewinds})")
+                                  f"{self.max_rewinds}){back}")
                         continue
                 else:
                     best_seg = min(best_seg, seg_med)
@@ -406,7 +429,8 @@ class Fitter:
         """One training step (reference _normflowcore.py:275-294)."""
         model = self._model
         net, self.opt_state, loss, logqp = self._step_fn(
-            model.net_, self.opt_state, model.next_key(), self.train_batch_size
+            model.net_, self.opt_state, model.next_key(),
+            self.train_batch_size, self._lr_scale
         )
         model.net_ = net
         return loss, logqp

@@ -53,6 +53,13 @@ def main():
     p.add_argument("--clip", type=float, default=25.0)
     p.add_argument("--spike", type=float, default=50.0,
                    help="rewind_on_spike threshold in loss units")
+    p.add_argument("--lr_backoff", type=float, default=None,
+                   help="rewind_lr_backoff factor (e.g. 0.5): shrink the "
+                        "effective lr on every rewind -- the intervention "
+                        "for landscape-walk collapses that re-enter the "
+                        "spiral after a plain rewind+reseed")
+    p.add_argument("--seeds", type=int, nargs="*", default=None,
+                   help="restrict every arm to these seeds")
     p.add_argument("--train_batch", type=int, default=256)
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--sample_iters", type=int, default=200)
@@ -84,6 +91,8 @@ def main():
     for name, n_cycles, epochs, seeds in grid:
         if args.max_epochs is not None:
             epochs = min(epochs, args.max_epochs)
+        if args.seeds is not None:
+            seeds = tuple(s for s in seeds if s in args.seeds)
         for seed in seeds:
             print(f"[r5-u1] {name} seed {seed} ...", flush=True)
             model = build_u1_model(lat, beta=args.beta, seed=seed,
@@ -97,6 +106,7 @@ def main():
                 grad_estimator="path", clip_grad_norm=args.clip,
                 steps_per_call=args.steps_per_call,
                 rewind_on_spike=args.spike,
+                rewind_lr_backoff=args.lr_backoff,
                 checkpoint_dict=dict(print_stride=None))
             train_s = round(time.time() - t0, 1)
 
@@ -113,7 +123,8 @@ def main():
             q_std = float((pang.sum(axis=(1, 2)) / (2 * np.pi)).std())
 
             row = dict(arm=name, n_cycles=n_cycles, epochs=epochs,
-                       clip=args.clip, spike=args.spike, seed=seed,
+                       clip=args.clip, spike=args.spike,
+                       lr_backoff=args.lr_backoff, seed=seed,
                        train_s=train_s,
                        rewinds=hist.get("rewinds", []),
                        ess=round(ess, 4), accept=round(accept, 4),

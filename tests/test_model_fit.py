@@ -268,10 +268,10 @@ def test_rewind_on_spike_rewinds_and_reseeds():
     real_multi = fit._multi_step_fn
     spike_at = 2  # second segment diverges
 
-    def fake_multi(net, opt_state, key, batch_size, n_steps):
+    def fake_multi(net, opt_state, key, batch_size, n_steps, lr_scale=1.0):
         calls["n"] += 1
         net2, opt2, losses = real_multi(net, opt_state, key, batch_size,
-                                        n_steps)
+                                        n_steps, lr_scale)
         if calls["n"] == spike_at:
             # a finite spiral the NaN guard cannot catch
             return net2, opt2, losses + 1e4
@@ -287,3 +287,59 @@ def test_rewind_on_spike_rewinds_and_reseeds():
     assert np.isfinite(hist["loss"]).all()
     assert max(hist["loss"]) < 1e3
     assert calls["n"] == 3
+
+
+def test_rewind_lr_backoff_shrinks_updates():
+    """Round 5: with ``rewind_lr_backoff`` armed, every rewind multiplies
+    the effective lr by the factor (exactly -- the post-optimizer update is
+    scaled), and a healthy run is untouched (scale stays 1.0)."""
+    model = _zerodim_model()
+    fit = model.fit
+    fit.hyperparam = dict(lr=0.01, weight_decay=0.0)
+    fit.checkpoint_dict["print_stride"] = None
+    fit.optimizer = fit._build_optimizer("adamw", None, None)
+    fit.opt_state = fit.optimizer.init(model.net_)
+    fit._step_fn = fit._make_step_fn()
+    fit.rewind_on_spike = 10.0
+    fit.rewind_lr_backoff = 0.5
+    fit._lr_scale = 1.0
+
+    calls = {"n": 0}
+    real_multi = fit._multi_step_fn
+    seen_scales = []
+
+    def fake_multi(net, opt_state, key, batch_size, n_steps, lr_scale=1.0):
+        calls["n"] += 1
+        seen_scales.append(float(lr_scale))
+        net2, opt2, losses = real_multi(net, opt_state, key, batch_size,
+                                        n_steps, lr_scale)
+        if calls["n"] in (2, 3):  # two consecutive spiking segments
+            return net2, opt2, losses + 1e4
+        return net2, opt2, losses
+
+    fit._multi_step_fn = fake_multi
+    hist = fit.train(40, batch_size=32, steps_per_call=10)
+    assert len(hist["rewinds"]) == 2
+    # segments saw 1.0 (pre-spike), then 0.5 after rewind 1, 0.25 after 2
+    assert seen_scales[0] == 1.0
+    assert 0.5 in seen_scales and 0.25 in seen_scales
+    assert fit._lr_scale == 0.25
+
+    # exactness of the scaling itself: one jitted step with lr_scale=0.5
+    # moves params exactly half as far as lr_scale=1.0 from the same state
+    import jax
+
+    m2 = _zerodim_model()
+    f2 = m2.fit
+    f2.hyperparam = dict(lr=0.01, weight_decay=0.0)
+    f2.optimizer = f2._build_optimizer("adamw", None, None)
+    f2.opt_state = f2.optimizer.init(m2.net_)
+    step = f2._make_step_fn()
+    key = jax.random.key(0)
+    n1, _, _, _ = step(m2.net_, f2.opt_state, key, 32, 1.0)
+    nh, _, _, _ = step(m2.net_, f2.opt_state, key, 32, 0.5)
+    d1 = jax.tree_util.tree_map(lambda a, b: np.asarray(a - b), n1, m2.net_)
+    dh = jax.tree_util.tree_map(lambda a, b: np.asarray(a - b), nh, m2.net_)
+    for a, b in zip(jax.tree_util.tree_leaves(d1),
+                    jax.tree_util.tree_leaves(dh)):
+        np.testing.assert_allclose(b, 0.5 * a, rtol=1e-6, atol=1e-12)
