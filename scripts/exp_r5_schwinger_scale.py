@@ -110,17 +110,31 @@ def main():
         train_s = round(time.time() - t0, 1)
         print(f"[r5-schwinger] {name} trained in {train_s} s", flush=True)
 
-        # exact-measure sampling (keyless action -> exact log-det)
+        # exact-measure sampling (keyless action -> exact log-det).
+        # A DISTINCT key per timed rep: re-running one executable on the
+        # bit-identical input buffers returned in ~0 ms on the tunneled
+        # runtime (s24 arm, round 5 -- a result cache somewhere below us),
+        # which silently fabricates the raw rate.  Distinct keys force a
+        # real execution per rep; a dispatch-floor sanity check guards the
+        # number.
         times = []
         logqp = model.posterior.logqp_stream(sample_iters, batch, key=kq)
         jax.block_until_ready(logqp)
-        for _ in range(args.reps):
+        for rep in range(args.reps):
+            krep = jax.random.fold_in(kq, rep)
             t0 = time.time()
-            logqp = model.posterior.logqp_stream(sample_iters, batch, key=kq)
+            logqp = model.posterior.logqp_stream(sample_iters, batch,
+                                                 key=krep)
             jax.block_until_ready(logqp)
             times.append(time.time() - t0)
         n_per = sample_iters * batch
-        raw = n_per / float(np.median(times))
+        med_t = float(np.median(times))
+        raw = n_per / med_t
+        if med_t < 0.04:  # under the tunnel's per-dispatch floor (~49 ms)
+            print(f"[r5-schwinger] WARNING: {name} median {med_t:.4f} s "
+                  "is below the dispatch floor; raw rate unreliable",
+                  flush=True)
+            raw = float("nan")
         ess = float(calc_ess(logqp, 0.0))
         accept, _ = estimate_accept_rate(jax.device_get(logqp))
 
