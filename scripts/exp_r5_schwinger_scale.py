@@ -57,6 +57,8 @@ def main():
     p.add_argument("--cg_maxiter", type=int, default=512)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override the per-arm epoch budget outright")
     p.add_argument("--out", default="runs/r5_schwinger.jsonl")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
@@ -79,6 +81,8 @@ def main():
     rows = []
     for (name, L, estimator, epochs, train_batch, sample_iters, batch,
          spc) in arms:
+        if args.epochs is not None:
+            epochs = args.epochs
         if args.max_epochs is not None:
             epochs = min(epochs, args.max_epochs)
         lat = (L, L)
