@@ -315,8 +315,13 @@ def main():
     if args.batch == 0:
         tune_backend = "xla_bf16" if "xla_bf16" in backends else "xla"
         model.net_ = nets[tune_backend]
+        # tune at the OFFICIAL scan length: a short (50-iter) sweep biases
+        # toward large batches by amortizing the per-dispatch constant over
+        # more samples, flipping the 512-vs-1024 VMEM-residency ordering
+        # that holds at the measured scan length (round-5 TPU smoke).
         args.batch, batch_table = autotune_batch(
-            model, key=jax.random.key(args.seed + 2, impl=args.rng_impl))
+            model, iters=args.sample_iters,
+            key=jax.random.key(args.seed + 2, impl=args.rng_impl))
         print(f"[bench] autotuned sampling batch: {args.batch} "
               f"(raw/s {batch_table})", flush=True)
 
